@@ -1,0 +1,306 @@
+"""Classical Ising Monte Carlo engine: colored parallel sweeps, vmapped replicas.
+
+TPU-native replacement for the reference's ``qmc::classical::graph::GraphState``
+(contract reconstructed in SURVEY.md section 2.3 from call sites such as
+/root/reference/src/lattice.rs:198-212 and classicising.rs:97-110). The
+reference runs one strictly-sequential Metropolis simulator per CPU thread; here
+
+- the **replica axis is a batch axis** (``s[R, nvars]`` int8 spins, thousands of
+  replicas per chip),
+- one "time step" (reference ``do_time_step``, lattice.rs:205) becomes a
+  composition of **conflict-free colored sweeps**: all sites of one color class
+  update simultaneously from their local fields, then the next color, etc.,
+- the reference's three move families map to: single-spin colored sweeps
+  (``nspinupdates``), edge-colored endpoint-pair flips (``nedgeupdates``), and
+  random-walk worm chains of sequential single-site Metropolis flips
+  (``nwormupdates``),
+- randomness is counter-based threefry, one key per replica, so experiment ``i``
+  depends only on its seed.
+
+Energy convention (README.md:46, lattice.rs:43-44): H = sum_e J_e s_a s_b +
+sum_i h_i s_i with s = +-1 and positive J antiferromagnetic.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..graph import CompiledGraph
+from ..rng import split_keys
+
+__all__ = [
+    "GraphArrays",
+    "device_graph",
+    "energy",
+    "random_states",
+    "time_step",
+    "run_steps",
+    "run_sampling",
+]
+
+_F = jnp.float32
+_S = jnp.int8
+
+
+class GraphArrays(NamedTuple):
+    """Device-resident compiled graph (pytree of jnp arrays; static shapes)."""
+
+    neighbors: jax.Array  # [nvars, D] int32
+    jmat: jax.Array  # [nvars, D] f32
+    degree: jax.Array  # [nvars] int32
+    edge_a: jax.Array  # [E] int32
+    edge_b: jax.Array  # [E] int32
+    edge_j: jax.Array  # [E] f32
+    # per site-color precomputed tables
+    c_sites: Tuple[jax.Array, ...]  # [Cc]
+    c_nbrs: Tuple[jax.Array, ...]  # [Cc, D]
+    c_j: Tuple[jax.Array, ...]  # [Cc, D]
+    # per edge-color tables
+    e_a: Tuple[jax.Array, ...]  # [Ec]
+    e_b: Tuple[jax.Array, ...]
+    e_j: Tuple[jax.Array, ...]
+    e_a_nbrs: Tuple[jax.Array, ...]  # [Ec, D]
+    e_a_j: Tuple[jax.Array, ...]
+    e_b_nbrs: Tuple[jax.Array, ...]
+    e_b_j: Tuple[jax.Array, ...]
+
+
+def device_graph(cg: CompiledGraph) -> GraphArrays:
+    nb = jnp.asarray(cg.neighbors, jnp.int32)
+    jm = jnp.asarray(cg.jmat, _F)
+    return GraphArrays(
+        neighbors=nb,
+        jmat=jm,
+        degree=jnp.asarray(cg.degree, jnp.int32),
+        edge_a=jnp.asarray(cg.edge_a, jnp.int32),
+        edge_b=jnp.asarray(cg.edge_b, jnp.int32),
+        edge_j=jnp.asarray(cg.edge_j, _F),
+        c_sites=tuple(jnp.asarray(s, jnp.int32) for s in cg.color_sites),
+        c_nbrs=tuple(jnp.asarray(cg.neighbors[s], jnp.int32) for s in cg.color_sites),
+        c_j=tuple(jnp.asarray(cg.jmat[s], _F) for s in cg.color_sites),
+        e_a=tuple(jnp.asarray(cg.edge_a[e], jnp.int32) for e in cg.ecolor_edges),
+        e_b=tuple(jnp.asarray(cg.edge_b[e], jnp.int32) for e in cg.ecolor_edges),
+        e_j=tuple(jnp.asarray(cg.edge_j[e], _F) for e in cg.ecolor_edges),
+        e_a_nbrs=tuple(jnp.asarray(cg.neighbors[cg.edge_a[e]], jnp.int32) for e in cg.ecolor_edges),
+        e_a_j=tuple(jnp.asarray(cg.jmat[cg.edge_a[e]], _F) for e in cg.ecolor_edges),
+        e_b_nbrs=tuple(jnp.asarray(cg.neighbors[cg.edge_b[e]], jnp.int32) for e in cg.ecolor_edges),
+        e_b_j=tuple(jnp.asarray(cg.jmat[cg.edge_b[e]], _F) for e in cg.ecolor_edges),
+    )
+
+
+def energy(ga: GraphArrays, bias: jax.Array, s: jax.Array) -> jax.Array:
+    """E[r] = sum_e J_e s_a s_b + sum_i h_i s_i (reference convention)."""
+    sf = s.astype(_F)
+    eb = (ga.edge_j[None, :] * sf[:, ga.edge_a] * sf[:, ga.edge_b]).sum(-1)
+    return eb + sf @ bias.astype(_F)
+
+
+def random_states(keys: jax.Array, nvars: int) -> jax.Array:
+    """Per-replica random +-1 initial states from per-replica keys."""
+    def one(k):
+        return (jax.random.bernoulli(k, 0.5, (nvars,)).astype(_S) * 2 - 1)
+
+    return jax.vmap(one)(keys)
+
+
+def _accept(u: jax.Array, dE: jax.Array, beta, heatbath: bool) -> jax.Array:
+    if heatbath:
+        return u < jax.nn.sigmoid(-beta * dE)
+    # log-space Metropolis: log u < -beta*dE (auto-accepts dE<=0 since log u < 0)
+    return jnp.log(u) < -beta * dE
+
+
+def _uniform_per_replica(keys: jax.Array, shape_tail) -> jax.Array:
+    return jax.vmap(lambda k: jax.random.uniform(k, shape_tail))(keys)
+
+
+def _spin_color_update(ga, bias, s, subkeys, beta, c: int, heatbath: bool):
+    sites, nbrs, jrow = ga.c_sites[c], ga.c_nbrs[c], ga.c_j[c]
+    sj = jnp.take(s, nbrs.reshape(-1), axis=1).reshape(s.shape[0], *nbrs.shape).astype(_F)
+    B = (jrow[None] * sj).sum(-1)  # [R, Cc]
+    si = jnp.take(s, sites, axis=1)
+    dE = -2.0 * si.astype(_F) * (B + bias[sites][None])
+    u = _uniform_per_replica(subkeys, (sites.shape[0],))
+    acc = _accept(u, dE, beta, heatbath)
+    return s.at[:, sites].set(jnp.where(acc, -si, si))
+
+
+def _edge_color_update(ga, bias, s, subkeys, beta, c: int, heatbath: bool):
+    a, b, j = ga.e_a[c], ga.e_b[c], ga.e_j[c]
+    R = s.shape[0]
+    sa = jnp.take(s, a, axis=1).astype(_F)
+    sb = jnp.take(s, b, axis=1).astype(_F)
+    na, ja = ga.e_a_nbrs[c], ga.e_a_j[c]
+    nb_, jb = ga.e_b_nbrs[c], ga.e_b_j[c]
+    Ba = (ja[None] * jnp.take(s, na.reshape(-1), axis=1).reshape(R, *na.shape).astype(_F)).sum(-1)
+    Bb = (jb[None] * jnp.take(s, nb_.reshape(-1), axis=1).reshape(R, *nb_.shape).astype(_F)).sum(-1)
+    # flip both endpoints: bond ab term unchanged, so add back its double-counted delta
+    dE = (
+        -2.0 * sa * (Ba + bias[a][None])
+        - 2.0 * sb * (Bb + bias[b][None])
+        + 4.0 * j[None] * sa * sb
+    )
+    u = _uniform_per_replica(subkeys, (a.shape[0],))
+    acc = _accept(u, dE, beta, heatbath)
+    sia = jnp.take(s, a, axis=1)
+    sib = jnp.take(s, b, axis=1)
+    s = s.at[:, a].set(jnp.where(acc, -sia, sia))
+    s = s.at[:, b].set(jnp.where(acc, -sib, sib))
+    return s
+
+
+def _worm_update(ga, bias, s, subkeys, beta, wlen: int, heatbath: bool):
+    """One worm per replica: a length-``wlen`` random walk of sequential
+    single-site Metropolis flips (each step is an exact-detailed-balance move;
+    the walk correlates successive update locations like the reference's worm
+    family without data-dependent control flow)."""
+    R, nvars = s.shape
+    r_idx = jnp.arange(R)
+    kw, k0 = split_keys(subkeys)
+    v0 = jax.vmap(lambda k: jax.random.randint(k, (), 0, nvars))(k0)
+
+    def body(carry, t):
+        s, v, keys = carry
+        keys, k1 = split_keys(keys)
+        keys, k2 = split_keys(keys)
+        nbrs = ga.neighbors[v]  # [R, D]
+        jrow = ga.jmat[v]  # [R, D]
+        B = (jrow * s[r_idx[:, None], nbrs].astype(_F)).sum(-1)
+        sv = s[r_idx, v]
+        dE = -2.0 * sv.astype(_F) * (B + bias[v])
+        u = jax.vmap(lambda k: jax.random.uniform(k, ()))(k1)
+        acc = _accept(u, dE, beta, heatbath)
+        s = s.at[r_idx, v].set(jnp.where(acc, -sv, sv))
+        deg = jnp.maximum(ga.degree[v], 1)
+        pick = jax.vmap(lambda k, d: jax.random.randint(k, (), 0, d))(k2, deg)
+        v = nbrs[r_idx, pick]
+        return (s, v, keys), None
+
+    (s, _, _), _ = lax.scan(body, (s, v0, kw), jnp.arange(wlen))
+    return s
+
+
+def time_step(
+    ga: GraphArrays,
+    bias: jax.Array,
+    s: jax.Array,
+    keys: jax.Array,
+    beta,
+    nspin_sweeps: int,
+    nedge_sweeps: int,
+    nworms: int,
+    only_basic: bool,
+    heatbath: bool,
+    wlen: int,
+):
+    """One reference 'time step' (GraphState::do_time_step analogue)."""
+    for _ in range(nspin_sweeps):
+        for c in range(len(ga.c_sites)):
+            keys, sub = split_keys(keys)
+            s = _spin_color_update(ga, bias, s, sub, beta, c, heatbath)
+    if not only_basic:
+        for _ in range(nedge_sweeps):
+            for c in range(len(ga.e_a)):
+                keys, sub = split_keys(keys)
+                s = _edge_color_update(ga, bias, s, sub, beta, c, heatbath)
+        for _ in range(nworms):
+            keys, sub = split_keys(keys)
+            s = _worm_update(ga, bias, s, sub, beta, wlen, heatbath)
+    return s, keys
+
+
+@partial(
+    jax.jit,
+    static_argnames=("nspin_sweeps", "nedge_sweeps", "nworms", "only_basic", "heatbath", "wlen"),
+)
+def run_steps(
+    ga, bias, s, keys, beta_arr, nspin_sweeps, nedge_sweeps, nworms, only_basic, heatbath, wlen
+):
+    """Run len(beta_arr) time steps; beta may vary per step (annealing)."""
+
+    def body(carry, beta):
+        s, keys = carry
+        s, keys = time_step(
+            ga, bias, s, keys, beta, nspin_sweeps, nedge_sweeps, nworms, only_basic, heatbath, wlen
+        )
+        return (s, keys), None
+
+    (s, keys), _ = lax.scan(body, (s, keys), beta_arr)
+    return s, keys
+
+
+@partial(
+    jax.jit,
+    static_argnames=("nspin_sweeps", "nedge_sweeps", "nworms", "only_basic", "heatbath", "wlen"),
+)
+def run_steps_energies(
+    ga, bias, s, keys, beta_arr, nspin_sweeps, nedge_sweeps, nworms, only_basic, heatbath, wlen
+):
+    """Like run_steps but records the energy after every time step."""
+
+    def body(carry, beta):
+        s, keys = carry
+        s, keys = time_step(
+            ga, bias, s, keys, beta, nspin_sweeps, nedge_sweeps, nworms, only_basic, heatbath, wlen
+        )
+        return (s, keys), energy(ga, bias, s)
+
+    (s, keys), es = lax.scan(body, (s, keys), beta_arr)
+    return s, keys, es.T  # [R, T]
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "timesteps",
+        "sampling_freq",
+        "nspin_sweeps",
+        "nedge_sweeps",
+        "nworms",
+        "only_basic",
+        "heatbath",
+        "wlen",
+    ),
+)
+def run_sampling(
+    ga,
+    bias,
+    s,
+    keys,
+    beta,
+    timesteps,
+    sampling_freq,
+    nspin_sweeps,
+    nedge_sweeps,
+    nworms,
+    only_basic,
+    heatbath,
+    wlen,
+):
+    """timesteps steps at fixed beta, recording (energy, state) after every
+    sampling_freq-th step. Returns (s, keys, energies[R, t//freq],
+    states[R, t//freq, nvars])."""
+    nsamples = timesteps // sampling_freq
+
+    def block(carry, _):
+        s, keys = carry
+        beta_arr = jnp.full((sampling_freq,), beta, _F)
+        s, keys = run_steps(
+            ga, bias, s, keys, beta_arr, nspin_sweeps, nedge_sweeps, nworms, only_basic, heatbath, wlen
+        )
+        return (s, keys), (energy(ga, bias, s), s)
+
+    (s, keys), (es, ss) = lax.scan(block, (s, keys), None, length=nsamples)
+    rem = timesteps - nsamples * sampling_freq
+    if rem:
+        beta_arr = jnp.full((rem,), beta, _F)
+        s, keys = run_steps(
+            ga, bias, s, keys, beta_arr, nspin_sweeps, nedge_sweeps, nworms, only_basic, heatbath, wlen
+        )
+    return s, keys, es.T, jnp.swapaxes(ss, 0, 1)
