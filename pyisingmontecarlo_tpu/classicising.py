@@ -1,0 +1,165 @@
+"""``ClassicIsing`` — stateful classical ensemble.
+
+Parity target: /root/reference/src/classicising.rs:13-180. Unlike ``Lattice``,
+this class maintains persistent simulator state across calls: graphs keep their
+spin configurations between ``run_monte_carlo`` invocations (shared doc comment
+pattern, classicising.rs:13-26). Per-move-type knobs (``nspinupdates``,
+``nedgeupdates``, ``nwormupdates``) map onto the colored-sweep engine as
+attempt counts (ceil(n / sites-per-sweep) full sweeps).
+
+TPU-native realization: the ensemble is a single batched spin array
+``[ngraphs, nvars]`` + per-graph threefry keys, so the whole ensemble steps in
+one compiled program.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from .engines import classical as ce
+from .graph import compile_graph
+from .rng import MasterRng, keys_from_seeds
+
+__all__ = ["ClassicIsing"]
+
+_DEF_WLEN = 32
+
+
+class ClassicIsing:
+    """Persistent ensemble of classical Ising simulators on one shared graph.
+
+    Constructor parity: ``ClassicIsing(edges, longitudinal?=0.0,
+    num_experiments?=1, seed?, use_basic_moves?=false)`` (classicising.rs:27-59).
+    The ``num_experiments`` initial graphs start from random states seeded from
+    the container RNG (classicising.rs:40-44).
+    """
+
+    def __init__(
+        self,
+        edges: Sequence,
+        longitudinal: float = 0.0,
+        num_experiments: int = 1,
+        seed: Optional[int] = None,
+        use_basic_moves: bool = False,
+    ):
+        self.edges = [((int(a), int(b)), float(j)) for (a, b), j in edges]
+        self.cg = compile_graph(self.edges)
+        self.nvars = self.cg.nvars
+        self.longitudinal = float(longitudinal)
+        self.rng = MasterRng(seed)
+        self.use_basic_moves = bool(use_basic_moves)
+        self._ga = ce.device_graph(self.cg)
+        self._bias = jnp.full(self.nvars, self.longitudinal, jnp.float32)
+        self._spins = None  # [R, nvars] int8 device array
+        self._keys = None  # [R] typed keys
+        for _ in range(int(num_experiments)):
+            self.add_graph()
+
+    # ------------------------------------------------------------------ state
+
+    @property
+    def num_graphs(self) -> int:
+        return 0 if self._spins is None else int(self._spins.shape[0])
+
+    def add_graph(
+        self,
+        initial_state: Optional[Sequence[bool]] = None,
+        edge_move_importance_sampling: Optional[bool] = None,
+    ) -> None:
+        """classicising.rs:62-79 — append one graph, seeded from the container
+        RNG. ``edge_move_importance_sampling`` is accepted for parity (see
+        Lattice.run_monte_carlo docstring)."""
+        key = keys_from_seeds(self.rng.make_seeds(1))
+        if initial_state is not None:
+            state = list(initial_state)
+            if len(state) != self.nvars:
+                raise ValueError(
+                    f"Initial state must have length {self.nvars}, got {len(state)}"
+                )
+            s = jnp.asarray(np.where(np.array(state, bool), 1, -1).astype(np.int8))[None]
+        else:
+            s = ce.random_states(key, self.nvars)
+        if self._spins is None:
+            self._spins, self._keys = s, key
+        else:
+            self._spins = jnp.concatenate([self._spins, s], axis=0)
+            self._keys = jnp.concatenate([self._keys, key], axis=0)
+
+    def get_states(self) -> np.ndarray:
+        """Current spin configurations as bool[ngraphs, nvars]."""
+        return np.asarray(self._spins == 1)
+
+    def get_energies(self) -> np.ndarray:
+        return np.asarray(ce.energy(self._ga, self._bias, self._spins), np.float64)
+
+    # ------------------------------------------------------------------- runs
+
+    def _move_args(self, nspin, nedge, nworm, only_basic):
+        only = self.use_basic_moves if only_basic is None else bool(only_basic)
+        nspin_sweeps = 1 if nspin is None else max(1, math.ceil(int(nspin) / max(self.nvars, 1)))
+        nedge_sweeps = (
+            1 if nedge is None else max(0, math.ceil(int(nedge) / max(self.cg.nedges, 1)))
+        )
+        nworms = 1 if nworm is None else int(nworm)
+        if only:
+            nedge_sweeps, nworms = 0, 0
+        return dict(
+            nspin_sweeps=nspin_sweeps,
+            nedge_sweeps=nedge_sweeps,
+            nworms=nworms,
+            only_basic=only,
+            heatbath=False,
+            wlen=min(self.nvars, _DEF_WLEN),
+        )
+
+    def run_monte_carlo(
+        self,
+        beta: float,
+        timesteps: int,
+        nspinupdates: Optional[int] = None,
+        nedgeupdates: Optional[int] = None,
+        nwormupdates: Optional[int] = None,
+        only_basic_moves: Optional[bool] = None,
+    ) -> None:
+        """classicising.rs:88-110 — mutate the ensemble in place, return None."""
+        margs = self._move_args(nspinupdates, nedgeupdates, nwormupdates, only_basic_moves)
+        beta_arr = jnp.full(int(timesteps), float(beta), jnp.float32)
+        self._spins, self._keys = ce.run_steps(
+            self._ga, self._bias, self._spins, self._keys, beta_arr, **margs
+        )
+
+    def run_monte_carlo_sampling(
+        self,
+        beta: float,
+        timesteps: int,
+        nspinupdates: Optional[int] = None,
+        nedgeupdates: Optional[int] = None,
+        nwormupdates: Optional[int] = None,
+        only_basic_moves: Optional[bool] = None,
+        thermalization_time: Optional[int] = None,
+        sampling_freq: Optional[int] = None,
+    ):
+        """classicising.rs:119-179 -> (energies[n, t/freq], states[n, t/freq, nvars])."""
+        margs = self._move_args(nspinupdates, nedgeupdates, nwormupdates, only_basic_moves)
+        therm = int(thermalization_time or 0)
+        freq = int(sampling_freq) if sampling_freq else 1
+        if therm:
+            beta_arr = jnp.full(therm, float(beta), jnp.float32)
+            self._spins, self._keys = ce.run_steps(
+                self._ga, self._bias, self._spins, self._keys, beta_arr, **margs
+            )
+        self._spins, self._keys, es, ss = ce.run_sampling(
+            self._ga,
+            self._bias,
+            self._spins,
+            self._keys,
+            jnp.float32(beta),
+            int(timesteps),
+            freq,
+            **margs,
+        )
+        return np.asarray(es, np.float64), np.asarray(ss == 1)

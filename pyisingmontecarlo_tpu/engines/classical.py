@@ -162,27 +162,30 @@ def _worm_update(ga, bias, s, subkeys, beta, wlen: int, heatbath: bool):
     family without data-dependent control flow)."""
     R, nvars = s.shape
     r_idx = jnp.arange(R)
-    kw, k0 = split_keys(subkeys)
+    # all randomness generated up front (2 uniforms per step per replica):
+    # u_acc for Metropolis acceptance, u_mov for start-site / neighbor choice
+    u_all = _uniform_per_replica(subkeys, (wlen, 2))  # [R, wlen, 2]
+    u_acc = jnp.moveaxis(u_all[..., 0], 1, 0)  # [wlen, R]
+    u_mov = jnp.moveaxis(u_all[..., 1], 1, 0)
+    keys, k0 = split_keys(subkeys)
     v0 = jax.vmap(lambda k: jax.random.randint(k, (), 0, nvars))(k0)
 
-    def body(carry, t):
-        s, v, keys = carry
-        keys, k1 = split_keys(keys)
-        keys, k2 = split_keys(keys)
+    def body(carry, us):
+        s, v = carry
+        u1, u2 = us
         nbrs = ga.neighbors[v]  # [R, D]
         jrow = ga.jmat[v]  # [R, D]
         B = (jrow * s[r_idx[:, None], nbrs].astype(_F)).sum(-1)
         sv = s[r_idx, v]
         dE = -2.0 * sv.astype(_F) * (B + bias[v])
-        u = jax.vmap(lambda k: jax.random.uniform(k, ()))(k1)
-        acc = _accept(u, dE, beta, heatbath)
+        acc = _accept(u1, dE, beta, heatbath)
         s = s.at[r_idx, v].set(jnp.where(acc, -sv, sv))
         deg = jnp.maximum(ga.degree[v], 1)
-        pick = jax.vmap(lambda k, d: jax.random.randint(k, (), 0, d))(k2, deg)
+        pick = jnp.minimum((u2 * deg.astype(_F)).astype(jnp.int32), deg - 1)
         v = nbrs[r_idx, pick]
-        return (s, v, keys), None
+        return (s, v), None
 
-    (s, _, _), _ = lax.scan(body, (s, v0, kw), jnp.arange(wlen))
+    (s, _), _ = lax.scan(body, (s, v0), (u_acc, u_mov))
     return s
 
 

@@ -1,0 +1,40 @@
+"""Shared observable computations (autocorrelations).
+
+The reference delegates autocorrelation measurement to the qmc crate's
+``autocorrelations`` feature (calculate_{variable,spin_product,bond}_
+autocorrelation call sites, /root/reference/src/lattice.rs:674-832,
+qmcising.rs:297-404). We define the measured quantity explicitly: for each
+scalar time series x(t) (per experiment, per channel), the mean-subtracted
+normalized autocorrelation
+
+    rho(lag) = sum_t (x(t)-xbar)(x(t+lag)-xbar) / sum_t (x(t)-xbar)^2
+
+averaged over channels (variables / spin products / bonds), computed with an
+FFT over the Monte Carlo time axis. Constant series contribute rho = 1 at
+every lag (their fluctuation is identically zero; they are perfectly
+correlated with themselves).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["autocorrelation"]
+
+
+def autocorrelation(x: np.ndarray) -> np.ndarray:
+    """x: [R, T, C] series -> rho[R, T] averaged over channels C."""
+    x = np.asarray(x, np.float64)
+    R, T, C = x.shape
+    if T == 0:
+        return np.zeros((R, 0))
+    xc = x - x.mean(axis=1, keepdims=True)
+    n = 1 << (2 * T - 1).bit_length()  # zero-pad to avoid circular wrap
+    f = np.fft.rfft(xc, n=n, axis=1)
+    acf = np.fft.irfft(f * np.conj(f), n=n, axis=1)[:, :T]  # [R, T, C]
+    var = acf[:, :1, :].copy()
+    const = var <= 1e-12
+    var[const] = 1.0
+    rho = acf / var
+    rho = np.where(np.broadcast_to(const, rho.shape), 1.0, rho)
+    return rho.mean(axis=2)

@@ -1,0 +1,606 @@
+"""Trotterized worldline QMC engine for the transverse-field Ising model.
+
+TPU-native replacement for the reference's SSE engine
+(``qmc::sse::qmc_ising::QmcIsingGraph``, contract reconstructed in SURVEY.md
+section 2.3 from call sites in /root/reference/src/lattice.rs:478-1035 and
+qmcising.rs). SSE's data-dependent operator strings cannot map onto a TPU; per
+the SURVEY.md section 7 design stance the TFIM at (beta, Gamma) is instead
+mapped to an anisotropic classical Ising model on the (d+1)-dimensional
+space-time lattice ``[nvars, L_tau]``:
+
+    Z = Tr e^{-beta H},  H = sum_b J_b sz_a sz_b + h sum_i sz_i + Gamma sum_i sx_i
+
+Trotter slices of width dtau = beta/L give the path-integral weight
+
+    W(s) = prod_tau exp(-dtau * [sum_b J_b s_at s_bt + h sum_i s_it])
+         * prod_{i,tau} ( cosh(dtau*Gamma) if s_it == s_i,t+1 else sinh(dtau*Gamma) )
+
+i.e. time-like ferromagnetic couplings K_tau = -1/2 * ln tanh(dtau*Gamma).
+The sign of the Gamma sx term is immaterial (unitary spin rotation), so all
+observables below match the SSE engine's within Trotter bias O(dtau^2), which
+is kept well below statistical error by the default dtau.
+
+Update families (mapped to the reference's move names in qmcising.py):
+- colored single-site space-time Metropolis sweeps ("diagonal step" analogue),
+- Fortuin-Kasteleyn cluster updates along imaginary-time rings, done per
+  spatial color class so simultaneous cluster flips never interact
+  ("cluster step" analogue; supplies ergodicity at large Gamma),
+- whole-worldline pair flips over an edge ("rvb sweep" analogue),
+- heatbath acceptance variant (``enable_heatbath``).
+
+Estimators:
+- diagonal energy: slice average of sum_b J s s + h sum_i s,
+- off-diagonal energy: E_x = -Gamma * mean_tau[tanh(dtau*Gamma) if aligned
+  else coth(dtau*Gamma)] per site (standard worldline sx estimator),
+- SSE operator-count diagnostics reinterpreted for worldlines via
+  <n> = beta*(C - <E>) (see op-count functions; offset convention
+  C = sum_b |J_b| + sum_i |h| + nvars*Gamma).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..graph import CompiledGraph
+from ..rng import split_keys
+from .classical import GraphArrays, device_graph, _accept, _uniform_per_replica
+
+__all__ = ["WorldlineEnsemble", "choose_ltau", "DEFAULT_DTAU"]
+
+_F = jnp.float32
+_S = jnp.int8
+
+# Default Trotter step target. Trotter bias in <E> is O((dtau*Gamma)^2 * beta);
+# 0.05 keeps it below typical MC error bars for the test/bench workloads.
+DEFAULT_DTAU = 0.05
+
+
+def choose_ltau(beta: float, gamma: float, dtau_target: float = DEFAULT_DTAU) -> int:
+    """Even number of Trotter slices (even needed for time-parity sweeps)."""
+    scale = max(1.0, float(gamma))
+    L = int(math.ceil(float(beta) * scale / dtau_target))
+    L = max(L, 4)
+    return L + (L % 2)
+
+
+class WlParams(NamedTuple):
+    """Per-replica worldline parameters (all [R] f32) + shared graph arrays."""
+
+    dtau: jax.Array  # beta / L
+    ktau: jax.Array  # -1/2 ln tanh(dtau*Gamma)
+    gamma: jax.Array
+    h: jax.Array  # global longitudinal bias
+    beta: jax.Array
+
+
+def make_params(beta, gamma, h, L: int) -> WlParams:
+    beta = jnp.atleast_1d(jnp.asarray(beta, _F))
+    gamma = jnp.broadcast_to(jnp.asarray(gamma, _F), beta.shape)
+    h = jnp.broadcast_to(jnp.asarray(h, _F), beta.shape)
+    dtau = beta / L
+    a = dtau * gamma
+    ktau = -0.5 * jnp.log(jnp.tanh(a))
+    return WlParams(dtau=dtau, ktau=ktau, gamma=gamma, h=h, beta=beta)
+
+
+# --------------------------------------------------------------------- sweeps
+
+
+def _spatial_field(ga: GraphArrays, s, c: int):
+    """B[r, Cc, L] = sum_d J[site, d] * s[r, nbr, L] for sites of color c."""
+    nbrs, jrow = ga.c_nbrs[c], ga.c_j[c]
+    R, _, L = s.shape
+    sj = jnp.take(s, nbrs.reshape(-1), axis=1).reshape(R, *nbrs.shape, L).astype(_F)
+    return (jrow[None, :, :, None] * sj).sum(2)
+
+
+def _site_color_update(ga, p: WlParams, s, subkeys, c: int, parity: int, heatbath: bool):
+    """Metropolis on all (site in color c, tau of given parity) points."""
+    sites = ga.c_sites[c]
+    B = _spatial_field(ga, s, c)  # [R, Cc, L]
+    si = jnp.take(s, sites, axis=1)  # [R, Cc, L] int8
+    up = jnp.roll(si, -1, axis=2).astype(_F)
+    dn = jnp.roll(si, 1, axis=2).astype(_F)
+    dt = p.dtau[:, None, None]
+    kt = p.ktau[:, None, None]
+    dE = -2.0 * si.astype(_F) * (dt * (B + p.h[:, None, None]) - kt * (up + dn))
+    u = _uniform_per_replica(subkeys, (sites.shape[0], s.shape[2]))
+    acc = _accept(u, dE, 1.0, heatbath)  # beta already folded into couplings
+    tpar = (jnp.arange(s.shape[2]) % 2) == parity
+    acc = acc & tpar[None, None, :]
+    return s.at[:, sites].set(jnp.where(acc, -si, si))
+
+
+def _ring_cluster_ids(aligned_bond_active):
+    """Cluster labels on a periodic ring from active-bond mask.
+
+    ``aligned_bond_active[..., tau]`` marks the bond (tau -> tau+1 mod L) as
+    active. Returns int32 ids in [0, L) constant on each cluster; a cluster
+    wrapping the ring gets the id of its tail segment."""
+    b = aligned_bond_active
+    heads = ~jnp.roll(b, 1, axis=-1)  # tau starts a cluster iff bond tau-1 inactive
+    ids = jnp.cumsum(heads.astype(jnp.int32), axis=-1) - 1
+    nclust = ids[..., -1] + 1  # = heads.sum()
+    # prefix before the first head (ids == -1) wraps onto the last cluster;
+    # all-active ring (nclust == 0) is one cluster with id 0
+    wrap_id = jnp.maximum(nclust - 1, 0)[..., None]
+    return jnp.where(ids < 0, wrap_id, ids)
+
+
+def _time_cluster_update(ga, p: WlParams, s, subkeys, c: int):
+    """Fortuin-Kasteleyn (Swendsen-Wang) update along imaginary-time rings of
+    all sites in spatial color c. Lines in one color class share no spatial
+    bond, so per-cluster Metropolis decisions on the (frozen) spatial field are
+    independent and the combined move preserves detailed balance."""
+    sites = ga.c_sites[c]
+    R, _, L = s.shape
+    Cc = sites.shape[0]
+    si = jnp.take(s, sites, axis=1)  # [R, Cc, L]
+    u = _uniform_per_replica(subkeys, (Cc, L, 3))
+    aligned = si == jnp.roll(si, -1, axis=2)
+    p_bond = 1.0 - jnp.exp(-2.0 * p.ktau)[:, None, None]
+    active = aligned & (u[..., 0] < p_bond)
+    ids = _ring_cluster_ids(active)  # [R, Cc, L]
+    # per-cluster spatial+longitudinal energy change if flipped
+    B = _spatial_field(ga, s, c)
+    dt = p.dtau[:, None, None]
+    dE_site = -2.0 * si.astype(_F) * dt * (B + p.h[:, None, None])  # [R, Cc, L]
+    r_ix = jnp.broadcast_to(jnp.arange(R)[:, None, None], ids.shape)
+    c_ix = jnp.broadcast_to(jnp.arange(Cc)[None, :, None], ids.shape)
+    dE_clust = jnp.zeros((R, Cc, L), _F).at[r_ix, c_ix, ids].add(dE_site)
+    acc_clust = jnp.log(u[..., 1]) < -dE_clust  # slot tau=cluster id
+    flip = jnp.take_along_axis(acc_clust, ids, axis=2)
+    return s.at[:, sites].set(jnp.where(flip, -si, si))
+
+
+def _single_cluster_step(ga, p: WlParams, s, subkeys):
+    """One Wolff-style cluster per replica (reference run_cluster analogue,
+    qmcising.rs:154-165): random (site, tau) seed, its FK time-cluster is
+    flipped with Metropolis acceptance on the spatial field. Returns
+    (s, cluster_sizes[R])."""
+    R, nvars, L = s.shape
+    keys, k1 = split_keys(subkeys)
+    keys, k2 = split_keys(keys)
+    keys, k3 = split_keys(keys)
+    i0 = jax.vmap(lambda k: jax.random.randint(k, (), 0, nvars))(k1)
+    t0 = jax.vmap(lambda k: jax.random.randint(k, (), 0, L))(k2)
+    r_idx = jnp.arange(R)
+    line = s[r_idx, i0]  # [R, L]
+    u = jax.vmap(lambda k: jax.random.uniform(k, (L, 2)))(k3)
+    aligned = line == jnp.roll(line, -1, axis=1)
+    p_bond = 1.0 - jnp.exp(-2.0 * p.ktau)[:, None]
+    active = aligned & (u[..., 0] < p_bond)
+    ids = _ring_cluster_ids(active)
+    id0 = ids[r_idx, t0]
+    member = ids == id0[:, None]  # [R, L]
+    size = member.sum(-1)
+    # spatial field on line i0
+    nbrs = ga.neighbors[i0]  # [R, D]
+    jrow = ga.jmat[i0]
+    sj = s[r_idx[:, None], nbrs].astype(_F)  # [R, D, L]
+    B = (jrow[:, :, None] * sj).sum(1)  # [R, L]
+    dE = (-2.0 * line.astype(_F) * p.dtau[:, None] * (B + p.h[:, None]) * member).sum(-1)
+    acc = jnp.log(u[:, 0, 1]) < -dE
+    flip = member & acc[:, None]
+    line = jnp.where(flip, -line, line)
+    return s.at[r_idx, i0].set(line), size
+
+
+def _edge_worldline_update(ga, p: WlParams, s, subkeys, c: int, heatbath: bool):
+    """Whole-worldline pair flip over each edge of edge-color class c
+    (the reference's RVB/semiclassical family analogue: a spatially non-local
+    move that preserves all time-kinks). Returns (s, successes, attempts)."""
+    a, b, j = ga.e_a[c], ga.e_b[c], ga.e_j[c]
+    R, _, L = s.shape
+    sa = jnp.take(s, a, axis=1).astype(_F)  # [R, Ec, L]
+    sb = jnp.take(s, b, axis=1).astype(_F)
+    na, ja = ga.e_a_nbrs[c], ga.e_a_j[c]
+    nb_, jb = ga.e_b_nbrs[c], ga.e_b_j[c]
+    Ba = (ja[None, :, :, None] * jnp.take(s, na.reshape(-1), axis=1).reshape(R, *na.shape, L).astype(_F)).sum(2)
+    Bb = (jb[None, :, :, None] * jnp.take(s, nb_.reshape(-1), axis=1).reshape(R, *nb_.shape, L).astype(_F)).sum(2)
+    dt = p.dtau[:, None, None]
+    h = p.h[:, None, None]
+    dE = (
+        dt * (-2.0 * sa * (Ba + h) - 2.0 * sb * (Bb + h) + 4.0 * j[None, :, None] * sa * sb)
+    ).sum(-1)  # [R, Ec]
+    u = _uniform_per_replica(subkeys, (a.shape[0],))
+    acc = _accept(u, dE, 1.0, heatbath)
+    sia = jnp.take(s, a, axis=1)
+    sib = jnp.take(s, b, axis=1)
+    s = s.at[:, a].set(jnp.where(acc[..., None], -sia, sia))
+    s = s.at[:, b].set(jnp.where(acc[..., None], -sib, sib))
+    return s, acc.sum(-1), acc.shape[-1]
+
+
+def sweep(ga, p: WlParams, s, keys, heatbath: bool, do_cluster: bool, do_rvb: bool):
+    """One full QMC time step: colored site sweeps (both time parities), then
+    FK time-cluster sweeps per color, then optional worldline pair flips."""
+    for c in range(len(ga.c_sites)):
+        for parity in (0, 1):
+            keys, sub = split_keys(keys)
+            s = _site_color_update(ga, p, s, sub, c, parity, heatbath)
+    if do_cluster:
+        for c in range(len(ga.c_sites)):
+            keys, sub = split_keys(keys)
+            s = _time_cluster_update(ga, p, s, sub, c)
+    if do_rvb:
+        for c in range(len(ga.e_a)):
+            keys, sub = split_keys(keys)
+            s, _, _ = _edge_worldline_update(ga, p, s, sub, c, heatbath)
+    return s, keys
+
+
+# ----------------------------------------------------------------- estimators
+
+
+def diagonal_energy(ga, p: WlParams, s):
+    """Slice-averaged diagonal energy sum_b J<ss> + h sum_i <s>  -> [R]."""
+    sf = s.astype(_F)
+    eb = (
+        ga.edge_j[None, :, None] * jnp.take(sf, ga.edge_a, axis=1) * jnp.take(sf, ga.edge_b, axis=1)
+    ).sum((1, 2))
+    eh = p.h * sf.sum((1, 2))
+    return (eb + eh) / s.shape[2]
+
+
+def offdiagonal_energy(p: WlParams, s):
+    """E_x[r] = -Gamma * sum_i mean_tau [tanh(a) if aligned else coth(a)]."""
+    a = (p.dtau * p.gamma)[:, None, None]
+    aligned = s == jnp.roll(s, -1, axis=2)
+    w = jnp.where(aligned, jnp.tanh(a), 1.0 / jnp.tanh(a))
+    return -p.gamma * w.sum((1, 2)) / s.shape[2]
+
+
+def total_energy(ga, p: WlParams, s):
+    return diagonal_energy(ga, p, s) + offdiagonal_energy(p, s)
+
+
+def kink_count(s):
+    """Number of imaginary-time kinks per replica (SSE off-diagonal op count
+    analogue; converges to <n_offdiag> as dtau -> 0)."""
+    return (s != jnp.roll(s, -1, axis=2)).sum((1, 2))
+
+
+def bond_op_counts(ga, p: WlParams, s):
+    """SSE diagonal bond-op count analogue per bond: <n_b> = beta*(|J_b| -
+    J_b <s_a s_b>) (Sandvik offset convention) -> [R, nbonds] f32."""
+    sf = s.astype(_F)
+    ss = (jnp.take(sf, ga.edge_a, axis=1) * jnp.take(sf, ga.edge_b, axis=1)).mean(2)
+    return p.beta[:, None] * (jnp.abs(ga.edge_j)[None] - ga.edge_j[None] * ss)
+
+
+def log_weight(ga, p: WlParams, s):
+    """log W(s) under parameters p — used for tempering swap acceptance."""
+    sf = s.astype(_F)
+    eb = (
+        ga.edge_j[None, :, None] * jnp.take(sf, ga.edge_a, axis=1) * jnp.take(sf, ga.edge_b, axis=1)
+    ).sum((1, 2))
+    eh = p.h[:, None] * sf.sum(1)  # [R, L]
+    diag = -p.dtau * (eb + eh.sum(-1))
+    a = p.dtau * p.gamma
+    aligned = s == jnp.roll(s, -1, axis=2)
+    nalign = aligned.sum((1, 2)).astype(_F)
+    ntot = s.shape[1] * s.shape[2]
+    time = nalign * jnp.log(jnp.cosh(a)) + (ntot - nalign) * jnp.log(jnp.sinh(a))
+    return diag + time
+
+
+# -------------------------------------------------------------- jitted drivers
+
+
+@partial(jax.jit, static_argnames=("timesteps", "heatbath", "do_cluster", "do_rvb"))
+def run_sweeps(ga, p, s, keys, timesteps, heatbath, do_cluster, do_rvb):
+    """timesteps sweeps, accumulating the total-energy estimator -> e_sum [R]."""
+
+    def body(carry, _):
+        s, keys, esum = carry
+        s, keys = sweep(ga, p, s, keys, heatbath, do_cluster, do_rvb)
+        return (s, keys, esum + total_energy(ga, p, s)), None
+
+    (s, keys, esum), _ = lax.scan(
+        body, (s, keys, jnp.zeros(s.shape[0], _F)), None, length=timesteps
+    )
+    return s, keys, esum
+
+
+@partial(
+    jax.jit,
+    static_argnames=("timesteps", "sampling_freq", "heatbath", "do_cluster", "do_rvb"),
+)
+def run_sweeps_sample(ga, p, s, keys, timesteps, sampling_freq, heatbath, do_cluster, do_rvb):
+    """Sample slice-0 states every sampling_freq sweeps.
+
+    Returns (s, keys, e_sum[R], states[R, t//freq, nvars] int8)."""
+    nsamples = timesteps // sampling_freq
+
+    def block(carry, _):
+        s, keys, esum = carry
+        for _ in range(sampling_freq):
+            s, keys = sweep(ga, p, s, keys, heatbath, do_cluster, do_rvb)
+            esum = esum + total_energy(ga, p, s)
+        return (s, keys, esum), s[:, :, 0]
+
+    (s, keys, esum), samples = lax.scan(
+        block, (s, keys, jnp.zeros(s.shape[0], _F)), None, length=nsamples
+    )
+    rem = timesteps - nsamples * sampling_freq
+    for _ in range(rem):
+        s, keys = sweep(ga, p, s, keys, heatbath, do_cluster, do_rvb)
+        esum = esum + total_energy(ga, p, s)
+    return s, keys, esum, jnp.swapaxes(samples, 0, 1)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("timesteps", "sampling_freq", "heatbath", "do_cluster", "do_rvb"),
+)
+def run_sweeps_bond_sample(ga, p, s, keys, timesteps, sampling_freq, heatbath, do_cluster, do_rvb):
+    """Sample per-bond op-count estimates every sampling_freq sweeps."""
+    nsamples = timesteps // sampling_freq
+
+    def block(carry, _):
+        s, keys, esum = carry
+        for _ in range(sampling_freq):
+            s, keys = sweep(ga, p, s, keys, heatbath, do_cluster, do_rvb)
+            esum = esum + total_energy(ga, p, s)
+        return (s, keys, esum), bond_op_counts(ga, p, s)
+
+    (s, keys, esum), samples = lax.scan(
+        block, (s, keys, jnp.zeros(s.shape[0], _F)), None, length=nsamples
+    )
+    return s, keys, esum, jnp.swapaxes(samples, 0, 1)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("timesteps", "heatbath", "do_cluster", "do_rvb", "exponent"),
+)
+def run_sweeps_measure(ga, p, s, keys, timesteps, sampling_freq_arr, down, up, exponent,
+                       heatbath, do_cluster, do_rvb):
+    """Per-sweep magnetization-moment measurement (lattice.rs:857-934 analogue):
+    every sweep computes (sum_i m(s_i0))^exponent at slice 0; samples where
+    sweep_index % freq == 0 are averaged. Returns (s, keys, e_sum, meas_mean)."""
+
+    def body(carry, t):
+        s, keys, esum, msum, mcnt = carry
+        s, keys = sweep(ga, p, s, keys, heatbath, do_cluster, do_rvb)
+        esum = esum + total_energy(ga, p, s)
+        sf = s[:, :, 0].astype(_F)
+        m = jnp.where(sf > 0, up, down).sum(-1) ** exponent
+        take = (t % sampling_freq_arr) == 0
+        msum = msum + jnp.where(take, m, 0.0)
+        mcnt = mcnt + jnp.where(take, 1.0, 0.0)
+        return (s, keys, esum, msum, mcnt), None
+
+    R = s.shape[0]
+    (s, keys, esum, msum, mcnt), _ = lax.scan(
+        body,
+        (s, keys, jnp.zeros(R, _F), jnp.zeros(R, _F), jnp.zeros(R, _F)),
+        jnp.arange(timesteps),
+    )
+    return s, keys, esum, msum / jnp.maximum(mcnt, 1.0)
+
+
+@partial(jax.jit, static_argnames=("timesteps", "heatbath"))
+def run_diagonal_sweeps(ga, p, s, keys, timesteps, heatbath):
+    """Single-site sweeps only (reference run_diagonal analogue)."""
+
+    def body(carry, _):
+        s, keys = carry
+        for c in range(len(ga.c_sites)):
+            for parity in (0, 1):
+                keys, sub = split_keys(keys)
+                s = _site_color_update(ga, p, s, sub, c, parity, heatbath)
+        return (s, keys), None
+
+    (s, keys), _ = lax.scan(body, (s, keys), None, length=timesteps)
+    return s, keys
+
+
+@jax.jit
+def run_single_cluster(ga, p, s, keys):
+    keys, sub = split_keys(keys)
+    s, sizes = _single_cluster_step(ga, p, s, sub)
+    return s, keys, sizes
+
+
+@partial(jax.jit, static_argnames=("timesteps", "updates_per_sweep", "heatbath"))
+def run_rvb_sweeps(ga, p, s, keys, timesteps, updates_per_sweep, heatbath):
+    """Worldline pair-flip sweeps; returns per-sweep success ratios [R, t]
+    (reference run_rvb analogue, qmcising.rs:168-190)."""
+    necolors = len(ga.e_a)
+    reps = max(1, -(-updates_per_sweep // max(1, sum(int(x.shape[0]) for x in ga.e_a))))
+
+    def body(carry, _):
+        s, keys = carry
+        succ = jnp.zeros(s.shape[0], _F)
+        att = 0.0
+        for _ in range(reps):
+            for c in range(necolors):
+                keys, sub = split_keys(keys)
+                s, ns, na = _edge_worldline_update(ga, p, s, sub, c, heatbath)
+                succ = succ + ns.astype(_F)
+                att = att + na
+        return (s, keys), succ / att
+
+    (s, keys), ratios = lax.scan(body, (s, keys), None, length=timesteps)
+    return s, keys, jnp.swapaxes(ratios, 0, 1)
+
+
+# ---------------------------------------------------------------- host wrapper
+
+
+class WorldlineEnsemble:
+    """Host-side handle on a batch of worldline simulators sharing one graph
+    and one (beta, Gamma, h). Used by Lattice quantum methods and QmcIsing."""
+
+    def __init__(
+        self,
+        cg: CompiledGraph,
+        transverse: float,
+        longitudinal: float,
+        beta: float,
+        keys,
+        num_experiments: int,
+        initial_state: Optional[np.ndarray] = None,
+        enable_rvb: bool = False,
+        enable_heatbath: bool = False,
+        ltau: Optional[int] = None,
+        states: Optional[jax.Array] = None,
+    ):
+        self.cg = cg
+        self.ga = device_graph(cg)
+        self.gamma = float(transverse)
+        self.h = float(longitudinal)
+        self.beta = float(beta)
+        self.L = int(ltau) if ltau else choose_ltau(beta, self.gamma)
+        self.keys = keys
+        self.R = int(num_experiments)
+        self.enable_rvb = bool(enable_rvb)
+        self.enable_heatbath = bool(enable_heatbath)
+        self.p = make_params(
+            np.full(self.R, self.beta), self.gamma, self.h, self.L
+        )
+        if states is not None:
+            self.s = states
+        elif initial_state is not None:
+            self.s = jnp.broadcast_to(
+                jnp.asarray(initial_state, _S)[None, :, None],
+                (self.R, cg.nvars, self.L),
+            )
+        else:
+            # random classical start: constant along tau (a valid worldline)
+            from .classical import random_states
+
+            s0 = random_states(keys, cg.nvars)
+            self.s = jnp.broadcast_to(s0[:, :, None], (self.R, cg.nvars, self.L))
+
+    def _flags(self):
+        return dict(
+            heatbath=self.enable_heatbath, do_cluster=True, do_rvb=self.enable_rvb
+        )
+
+    # ------------------------------------------------------------------ runs
+
+    def timesteps(self, t: int) -> np.ndarray:
+        """t sweeps; returns time-averaged energy estimator [R] (reference
+        QmcIsingGraph::timesteps contract)."""
+        if t == 0:
+            return np.asarray(total_energy(self.ga, self.p, self.s), np.float64)
+        self.s, self.keys, esum = run_sweeps(
+            self.ga, self.p, self.s, self.keys, int(t), **self._flags()
+        )
+        return np.asarray(esum, np.float64) / t
+
+    def timesteps_sample(self, t: int, freq: int):
+        self.s, self.keys, esum, samples = run_sweeps_sample(
+            self.ga, self.p, self.s, self.keys, int(t), int(freq), **self._flags()
+        )
+        return (
+            np.asarray(esum, np.float64) / max(t, 1),
+            np.asarray(samples == 1),
+        )
+
+    def bond_sample(self, t: int, freq: int):
+        self.s, self.keys, esum, samples = run_sweeps_bond_sample(
+            self.ga, self.p, self.s, self.keys, int(t), int(freq), **self._flags()
+        )
+        counts = np.maximum(np.rint(np.asarray(samples, np.float64)), 0).astype(np.int64)
+        return np.asarray(esum, np.float64) / max(t, 1), counts
+
+    def measure_spins(self, t: int, freq: int, down: float, up: float, exponent: int):
+        self.s, self.keys, esum, meas = run_sweeps_measure(
+            self.ga,
+            self.p,
+            self.s,
+            self.keys,
+            int(t),
+            jnp.int32(freq),
+            jnp.float32(down),
+            jnp.float32(up),
+            int(exponent),
+            **self._flags(),
+        )
+        return np.asarray(meas, np.float64), np.asarray(esum, np.float64) / max(t, 1)
+
+    def diagonal_sweeps(self, t: int):
+        self.s, self.keys = run_diagonal_sweeps(
+            self.ga, self.p, self.s, self.keys, int(t), self.enable_heatbath
+        )
+
+    def cluster_step(self) -> np.ndarray:
+        self.s, self.keys, sizes = run_single_cluster(self.ga, self.p, self.s, self.keys)
+        return np.asarray(sizes, np.int64)
+
+    def rvb_sweeps(self, t: int, updates_per_sweep: Optional[int]):
+        ups = int(updates_per_sweep) if updates_per_sweep else self.cg.nedges
+        self.s, self.keys, ratios = run_rvb_sweeps(
+            self.ga, self.p, self.s, self.keys, int(t), ups, self.enable_heatbath
+        )
+        return np.asarray(ratios, np.float64)
+
+    # ----------------------------------------------------------- observables
+
+    def states_bool(self) -> np.ndarray:
+        """Slice-0 spin configuration as bool[R, nvars]."""
+        return np.asarray(self.s[:, :, 0] == 1)
+
+    def itime_states(self, g: int) -> np.ndarray:
+        """[L, nvars] bool — worldline of replica g (get_graph_itime analogue;
+        the worldline's tau axis plays the SSE operator-string cutoff role)."""
+        return np.asarray(self.s[g].T == 1)
+
+    def _sample_series(self, t: int, freq: int):
+        """Collect slice-0 spin series [R, nsamp, nvars] (+-1 float)."""
+        _, samples = self.timesteps_sample(t, freq)
+        return np.where(samples, 1.0, -1.0)
+
+    def variable_autocorrelation(self, t: int, freq: int):
+        from .observables import autocorrelation
+
+        x = self._sample_series(t, freq)
+        return autocorrelation(x)
+
+    def spin_product_autocorrelation(self, t: int, freq: int, spin_products):
+        from .observables import autocorrelation
+
+        x = self._sample_series(t, freq)
+        series = np.stack(
+            [np.prod(x[:, :, list(sub)], axis=2) for sub in spin_products], axis=2
+        )
+        return autocorrelation(series)
+
+    def bond_autocorrelation(self, t: int, freq: int):
+        from .observables import autocorrelation
+
+        x = self._sample_series(t, freq)
+        series = x[:, :, self.cg.edge_a] * x[:, :, self.cg.edge_b]
+        return autocorrelation(series)
+
+    def op_count_estimates(self, t: int, freq: int):
+        """(diag, offdiag, const) mean op counts, averaged over samples and
+        replicas (average_on_and_off_diagonal_and_consts analogue):
+        diag = beta*(sum_b |J_b| + sum_i |h| - E_diag), offdiag = kink count,
+        const = beta*Gamma*nvars (exact in SSE, see module docstring)."""
+        nsamples = max(t // freq, 1)
+        diags, offs = [], []
+        for _ in range(nsamples):
+            self.s, self.keys, _ = run_sweeps(
+                self.ga, self.p, self.s, self.keys, int(freq), **self._flags()
+            )
+            ed = np.asarray(diagonal_energy(self.ga, self.p, self.s), np.float64)
+            kk = np.asarray(kink_count(self.s), np.float64)
+            diags.append(ed)
+            offs.append(kk)
+        cmax = float(np.abs(self.cg.edge_j).sum() + self.cg.nvars * abs(self.h))
+        diag = self.beta * (cmax - np.mean(diags))
+        off = float(np.mean(offs))
+        const = self.beta * self.gamma * self.cg.nvars
+        return float(diag), off, const

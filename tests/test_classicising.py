@@ -1,0 +1,64 @@
+"""ClassicIsing stateful-ensemble tests (classicising.rs parity, SURVEY 2.1 #3)."""
+
+import numpy as np
+import pytest
+
+from pyisingmontecarlo_tpu import ClassicIsing
+
+EDGES = [((0, 1), -1.0), ((1, 2), -1.0), ((2, 3), -1.0), ((3, 0), -1.0)]
+
+
+def test_constructor_builds_experiments():
+    ci = ClassicIsing(EDGES, num_experiments=5, seed=0)
+    assert ci.num_graphs == 5
+    assert ci.get_states().shape == (5, 4)
+
+
+def test_add_graph_with_initial_state():
+    ci = ClassicIsing(EDGES, num_experiments=0, seed=0)
+    ci.add_graph(initial_state=[True, True, False, False])
+    assert ci.num_graphs == 1
+    np.testing.assert_array_equal(ci.get_states()[0], [True, True, False, False])
+    with pytest.raises(ValueError):
+        ci.add_graph(initial_state=[True])
+
+
+def test_state_persists_across_calls():
+    ci = ClassicIsing(EDGES, num_experiments=4, seed=1)
+    ci.run_monte_carlo(10.0, 50)
+    s1 = ci.get_states()
+    # at huge beta the FM ring is frozen in a ground state; more steps keep it
+    ci.run_monte_carlo(10.0, 5)
+    s2 = ci.get_states()
+    e = ci.get_energies()
+    assert (e == -4.0).all()
+    assert (s1 == s2).all()
+
+
+def test_run_returns_none_and_sampling_shapes():
+    ci = ClassicIsing(EDGES, num_experiments=3, seed=2)
+    assert ci.run_monte_carlo(1.0, 5) is None
+    es, ss = ci.run_monte_carlo_sampling(1.0, 10, sampling_freq=3)
+    assert es.shape == (3, 3)
+    assert ss.shape == (3, 3, 4)
+
+
+def test_move_count_knobs():
+    ci = ClassicIsing(EDGES, num_experiments=2, seed=3)
+    ci.run_monte_carlo(0.5, 3, nspinupdates=10, nedgeupdates=0, nwormupdates=0)
+    ci.run_monte_carlo(0.5, 3, nspinupdates=1, nedgeupdates=8, nwormupdates=2)
+
+
+def test_use_basic_moves_default():
+    ci = ClassicIsing(EDGES, num_experiments=2, seed=4, use_basic_moves=True)
+    ci.run_monte_carlo(1.0, 5)  # must not crash; spin sweeps only
+    es, _ = ci.run_monte_carlo_sampling(1.0, 5)
+    assert es.shape == (2, 5)
+
+
+def test_longitudinal_field_thermodynamics():
+    # single pair with strong field: both spins pushed down (h>0 favors s=-1)
+    ci = ClassicIsing([((0, 1), 0.0)], longitudinal=2.0, num_experiments=64, seed=5)
+    ci.run_monte_carlo(2.0, 60)
+    m = np.where(ci.get_states(), 1, -1).mean()
+    assert m < -0.9
