@@ -109,11 +109,19 @@ def random_states(keys: jax.Array, nvars: int) -> jax.Array:
     return jax.vmap(one)(keys)
 
 
-def _accept(u: jax.Array, dE: jax.Array, beta, heatbath: bool) -> jax.Array:
-    if heatbath:
-        return u < jax.nn.sigmoid(-beta * dE)
-    # log-space Metropolis: log u < -beta*dE (auto-accepts dE<=0 since log u < 0)
-    return jnp.log(u) < -beta * dE
+def _accept(u: jax.Array, dE: jax.Array, beta, heatbath) -> jax.Array:
+    """Acceptance rule. ``heatbath`` is either a static bool or a per-replica
+    bool array [R] (mixed ensembles, e.g. LatticeTempering's per-graph
+    ``enable_heatbath_update``)."""
+    if isinstance(heatbath, bool):
+        if heatbath:
+            return u < jax.nn.sigmoid(-beta * dE)
+        # log-space Metropolis: log u < -beta*dE (auto-accepts dE<=0, log u < 0)
+        return jnp.log(u) < -beta * dE
+    hb = heatbath.reshape(heatbath.shape + (1,) * (dE.ndim - 1))
+    return jnp.where(
+        hb, u < jax.nn.sigmoid(-beta * dE), jnp.log(u) < -beta * dE
+    )
 
 
 def _uniform_per_replica(keys: jax.Array, shape_tail) -> jax.Array:

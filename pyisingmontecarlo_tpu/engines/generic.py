@@ -1,0 +1,589 @@
+"""Generic k-local-interaction worldline QMC engine (QmcRunner backend).
+
+TPU-native replacement for the reference's ``qmc::sse::Qmc`` (generic SSE over
+arbitrary k-local terms; contract reconstructed in SURVEY.md section 2.3 from
+/root/reference/src/qmcrunner.rs call sites). SSE samples an operator string of
+term applications; on TPU we instead Trotterize:
+
+    e^{-beta H} ~ [ prod_g e^{-dtau H_g} ]^{L_tau},   H = sum_t H_t,
+
+where the terms are partitioned into G **disjoint-support groups** (greedy
+coloring of the term-overlap graph — terms inside a group commute and act on
+disjoint variables). The imaginary-time axis then has ``Lt = L_tau * G``
+sub-slices; the transfer at sub-slice ``l`` applies group ``g = l % G``:
+
+    W = prod_l [ prod_{t in g(l)} T_t[idx_in, idx_out] ]
+             * prod_{v untouched by g(l)} delta(s_v,l , s_v,l+1)
+
+with ``T_t = expm(-dtau M_t)`` a dense 2^k x 2^k table per term. Everything is
+statically shaped: terms are batched by **arity class** (all k-local terms in
+one [T_k, 2^k, 2^k] table + [T_k, k] variable lists), transfer evaluation is
+pure gathers, and updates are conflict-free colored Metropolis flips:
+
+- single-site sub-slice flips, colored by (term-co-occurrence coloring) x
+  (sub-slice parity) — delta constraints reject automatically via the weight;
+- full-worldline single-variable flips (delta-free; unfreezes variables whose
+  off-diagonal dynamics is weak), always accepted for variables in no term;
+- per-Trotter-slice variable flips when ``do_loop_updates`` is set (the
+  reference's loop-update family analogue, qmcrunner.rs:142-150).
+
+Energy estimator: E = <sum_t (M_t T_t / T_t)[in, out]> averaged per Trotter
+slice (the dlnZ/dbeta estimator), plus the accumulated constant offset from
+``add_*_and_offset``.
+
+Sign condition: weights must be non-negative, i.e. T_t >= 0 elementwise —
+guaranteed for stoquastic M_t (off-diagonal <= 0). For 1-local terms with
+positive off-diagonal (e.g. +Gamma sigma^x), each variable's periodic
+worldline flips an even number of times, so the element signs cancel exactly
+and |T| sampling is exact (same argument as the TFIM engine). Other
+sign-indefinite terms raise ValueError — the same fundamental sign-problem
+boundary the reference's SSE weights have.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..rng import split_keys
+from .classical import _uniform_per_replica
+
+__all__ = ["TermSet", "GenericWorldline", "expm", "DEFAULT_DTAU"]
+
+_F = jnp.float32
+_S = jnp.int8
+_NEG = -1.0e9  # log-weight of a forbidden configuration
+# Coarser default than the TFIM engine: generic kink dynamics relies on
+# segment flips whose acceptance ~ (offdiag * dtau)^2, and Trotter bias at
+# 0.1 stays well below the statistical tolerances of the workloads.
+DEFAULT_DTAU = 0.1
+N_SEGMENT_PASSES = 6  # segment-flip passes per sweep (kink-number mixing)
+
+
+def expm(m: np.ndarray) -> np.ndarray:
+    """Matrix exponential via scaling-and-squaring + Taylor (tiny matrices)."""
+    m = np.asarray(m, np.float64)
+    norm = np.abs(m).sum(axis=-1).max() if m.size else 0.0
+    sq = max(0, int(math.ceil(math.log2(max(norm, 1e-30)))) + 1) if norm > 0.5 else 0
+    a = m / (2.0**sq)
+    out = np.eye(m.shape[0]) + a
+    term = a.copy()
+    for k in range(2, 24):
+        term = term @ a / k
+        out = out + term
+    for _ in range(sq):
+        out = out @ out
+    return out
+
+
+class TermSet:
+    """Host-side registry of k-local interaction terms."""
+
+    def __init__(self, nvars: int):
+        self.nvars = nvars
+        self.terms: List[dict] = []  # {mat (2^k,2^k) np, vars tuple, offset}
+        self.offset = 0.0
+
+    def add(self, mat_flat, nvars_list, diagonal: bool, with_offset: bool) -> None:
+        """qmcrunner.rs:94-135 semantics: flattened 2^k x 2^k (or 2^k diagonal)
+        matrix over the listed variables; ``with_offset`` shifts the matrix to
+        make the SSE/worldline weights non-negative and records the constant."""
+        vs = [int(v) for v in nvars_list]
+        k = len(vs)
+        if k == 0:
+            raise ValueError("Interaction must touch at least one variable")
+        if len(set(vs)) != k:
+            raise ValueError("Interaction variables must be distinct")
+        for v in vs:
+            if v < 0 or v >= self.nvars:
+                raise ValueError(f"Interaction variable {v} out of bounds")
+        dim = 2**k
+        mat_flat = np.asarray(mat_flat, np.float64)
+        if diagonal:
+            if mat_flat.shape != (dim,):
+                raise ValueError(
+                    f"Diagonal interaction on {k} variables needs {dim} entries, "
+                    f"got {mat_flat.shape}"
+                )
+            mat = np.diag(mat_flat)
+        else:
+            if mat_flat.shape != (dim * dim,):
+                raise ValueError(
+                    f"Interaction on {k} variables needs {dim * dim} entries, "
+                    f"got {mat_flat.shape}"
+                )
+            mat = mat_flat.reshape(dim, dim)
+        off = 0.0
+        if with_offset:
+            # shift so the diagonal (hence the SSE weight C - H) is non-negative
+            c = float(mat.diagonal().max())
+            if c > 0:
+                mat = mat - c * np.eye(dim)
+                off = c
+        offdiag = mat - np.diag(np.diag(mat))
+        if k > 1 and offdiag.max() > 1e-12:
+            raise ValueError(
+                "Multi-variable interaction has positive off-diagonal elements "
+                "(non-stoquastic: sign problem). Use the stoquastic form or an "
+                "offset variant."
+            )
+        self.offset += off
+        self.terms.append(dict(mat=mat, vars=tuple(vs), offset=off))
+
+    def clone(self) -> "TermSet":
+        other = TermSet(self.nvars)
+        other.terms = [dict(t) for t in self.terms]
+        other.offset = self.offset
+        return other
+
+
+class ArityClass(NamedTuple):
+    """Statically-shaped batch of all k-local terms for one arity k.
+
+    Index structures are host numpy (compile-time constants closed over the
+    per-instance jitted drivers); only the weight tables are device arrays."""
+
+    k: int
+    vars: np.ndarray  # [T, k] int32
+    logT: jax.Array  # [T, 2^k, 2^k] f32 (log weights; _NEG where T ~ 0)
+    esti: jax.Array  # [T, 2^k, 2^k] f32 ((M T)/T energy estimator table)
+    group: np.ndarray  # [T] int32
+    cvar: Tuple[np.ndarray, ...]  # per color: [T] var of that color in term, or -1
+    term_ids: np.ndarray  # [T] original term indices (for bond counts)
+
+
+class Compiled(NamedTuple):
+    classes: Tuple[ArityClass, ...]
+    touched: np.ndarray  # [nvars, G] bool
+    free_vars: np.ndarray  # [nF] vars in no term
+    color_sites: Tuple[np.ndarray, ...]
+    G: int
+    nterms: int
+
+
+def _color_conflicts(nvars: int, terms: List[dict]) -> np.ndarray:
+    """Vertex coloring of the variable co-occurrence graph (vars sharing a
+    term must be in different classes)."""
+    from ..graph import _color_sites_python
+
+    pairs = set()
+    for t in terms:
+        vs = t["vars"]
+        for i in range(len(vs)):
+            for j in range(i + 1, len(vs)):
+                pairs.add((min(vs[i], vs[j]), max(vs[i], vs[j])))
+    if not pairs:
+        return np.zeros(nvars, np.int32)
+    ea = np.array([p[0] for p in pairs], np.int32)
+    eb = np.array([p[1] for p in pairs], np.int32)
+    return _color_sites_python(nvars, ea, eb)
+
+
+def _group_terms(terms: List[dict]) -> np.ndarray:
+    """Greedy disjoint-support grouping (terms in a group share no variable)."""
+    groups = np.full(len(terms), -1, np.int32)
+    used: List[set] = []
+    for i, t in enumerate(terms):
+        vs = set(t["vars"])
+        for g, occupied in enumerate(used):
+            if not (vs & occupied):
+                groups[i] = g
+                occupied |= vs
+                break
+        else:
+            groups[i] = len(used)
+            used.append(set(vs))
+    return groups
+
+
+def compile_terms(nvars: int, terms: List[dict], dtau: float) -> Compiled:
+    if not terms:
+        raise ValueError("No interactions added")
+    groups = _group_terms(terms)
+    G = int(groups.max()) + 1
+    colors = _color_conflicts(nvars, terms)
+    ncolors = int(colors.max()) + 1
+    color_sites = tuple(
+        np.nonzero(colors == c)[0].astype(np.int32) for c in range(ncolors)
+    )
+    touched = np.zeros((nvars, G), bool)
+    in_any = np.zeros(nvars, bool)
+    for t, g in zip(terms, groups):
+        for v in t["vars"]:
+            touched[v, g] = True
+            in_any[v] = True
+    by_k: Dict[int, List[int]] = {}
+    for i, t in enumerate(terms):
+        by_k.setdefault(len(t["vars"]), []).append(i)
+    classes = []
+    for k, ids in sorted(by_k.items()):
+        T = len(ids)
+        vs = np.zeros((T, k), np.int32)
+        logT = np.zeros((T, 2**k, 2**k), np.float64)
+        esti = np.zeros((T, 2**k, 2**k), np.float64)
+        for j, i in enumerate(ids):
+            m = terms[i]["mat"]
+            vs[j] = terms[i]["vars"]
+            tm = expm(-dtau * m)
+            if tm.min() < -1e-9:
+                if k == 1:
+                    tm = np.abs(tm)  # even-flip-parity sign cancellation (exact)
+                else:
+                    raise ValueError(
+                        "Interaction produces negative path weights (sign problem)"
+                    )
+            tm = np.maximum(tm, 1e-300)
+            logT[j] = np.log(tm)
+            esti[j] = (m @ tm) / tm
+        cvar = []
+        for c in range(ncolors):
+            cv = np.full(T, -1, np.int32)
+            for j, i in enumerate(ids):
+                for slot, v in enumerate(terms[i]["vars"]):
+                    if colors[v] == c:
+                        cv[j] = v
+            cvar.append(cv)
+        classes.append(
+            ArityClass(
+                k=k,
+                vars=vs,
+                logT=jnp.asarray(logT, _F),
+                esti=jnp.asarray(esti, _F),
+                group=groups[ids],
+                cvar=tuple(cvar),
+                term_ids=np.asarray(ids),
+            )
+        )
+    return Compiled(
+        classes=tuple(classes),
+        touched=touched,
+        free_vars=np.nonzero(~in_any)[0].astype(np.int32),
+        color_sites=color_sites,
+        G=G,
+        nterms=len(terms),
+    )
+
+
+# ------------------------------------------------------------------ weights
+
+
+def _term_logw(cls: ArityClass, s, g_of_l):
+    """Per-term log-weight contributions [R, T, Lt] at every transfer
+    (zero where the term's group is inactive; the activity mask is a
+    compile-time constant)."""
+    R, _, Lt = s.shape
+    bits = (jnp.take(s, cls.vars.reshape(-1), axis=1).reshape(R, *cls.vars.shape, Lt) > 0)
+    pw = (2 ** np.arange(cls.k, dtype=np.int32))[None, None, :, None]
+    idx = (bits.astype(jnp.int32) * pw).sum(2)  # [R, T, Lt]
+    idx_in = idx
+    idx_out = jnp.roll(idx, -1, axis=2)
+    t_ix = np.arange(cls.vars.shape[0])[None, :, None]
+    lw = cls.logT[t_ix, idx_in, idx_out]  # [R, T, Lt]
+    active = cls.group[None, :, None] == g_of_l[None, None, :]  # np const
+    return jnp.where(active, lw, 0.0)
+
+
+def _term_energy(cls: ArityClass, s, g_of_l):
+    R, _, Lt = s.shape
+    bits = (jnp.take(s, cls.vars.reshape(-1), axis=1).reshape(R, *cls.vars.shape, Lt) > 0)
+    pw = (2 ** np.arange(cls.k, dtype=np.int32))[None, None, :, None]
+    idx = (bits.astype(jnp.int32) * pw).sum(2)
+    t_ix = np.arange(cls.vars.shape[0])[None, :, None]
+    ev = cls.esti[t_ix, idx, jnp.roll(idx, -1, axis=2)]
+    active = cls.group[None, :, None] == g_of_l[None, None, :]
+    return jnp.where(active, ev, 0.0)  # [R, T, Lt]
+
+
+def _delta_logw(touched, s, g_of_l):
+    """Per-variable delta-constraint log-weights [R, nvars, Lt]: _NEG where an
+    untouched variable changes across a transfer."""
+    free_mask = ~touched[:, g_of_l]  # np const [nvars, Lt]
+    viol = (s != jnp.roll(s, -1, axis=2)) & free_mask[None]
+    return jnp.where(viol, _NEG, 0.0)
+
+
+def total_energy(comp: Compiled, s, ltau: int, offset: float):
+    g_of_l = np.arange(s.shape[2]) % comp.G
+    e = jnp.full(s.shape[0], offset, _F)
+    for cls in comp.classes:
+        e = e + _term_energy(cls, s, g_of_l).sum((1, 2)) / ltau
+    return e
+
+
+def term_op_counts(comp: Compiled, s, ltau: int, beta, offsets):
+    """Per-term SSE op-count analogue [R, nterms]: beta * (C_t - <H_t>)."""
+    g_of_l = np.arange(s.shape[2]) % comp.G
+    R = s.shape[0]
+    out = jnp.zeros((R, comp.nterms), _F)
+    for cls in comp.classes:
+        ev = _term_energy(cls, s, g_of_l).sum(2) / ltau  # [R, T]
+        out = out.at[:, cls.term_ids].set(beta * (offsets[cls.term_ids][None] - ev))
+    return out
+
+
+def log_weight(comp: Compiled, s):
+    g_of_l = np.arange(s.shape[2]) % comp.G
+    lw = _delta_logw(comp.touched, s, g_of_l).sum((1, 2))
+    for cls in comp.classes:
+        lw = lw + _term_logw(cls, s, g_of_l).sum((1, 2))
+    return lw
+
+
+# ------------------------------------------------------------------- updates
+
+
+def _flip_delta_per_site(comp: Compiled, s, s_new, c: int):
+    """Per-(color-c var, transfer) log-weight change [R, Cc, Lt] between s and
+    s_new (s_new flips only color-c vars, at most one end per transfer)."""
+    g_of_l = np.arange(s.shape[2]) % comp.G
+    sites = comp.color_sites[c]
+    R, _, Lt = s.shape
+    Cc = sites.shape[0]
+    d = jnp.zeros((R, Cc, Lt), _F)
+    # map var id -> position within color class (static)
+    pos_of = np.full(int(comp.touched.shape[0]), -1, np.int32)
+    pos_of[sites] = np.arange(Cc)
+    for cls in comp.classes:
+        dw = _term_logw(cls, s_new, g_of_l) - _term_logw(cls, s, g_of_l)  # [R,T,Lt]
+        cv = cls.cvar[c]  # [T] var id or -1 (np const)
+        valid = cv >= 0
+        tgt = np.where(valid, pos_of[np.maximum(cv, 0)], 0)
+        dw = jnp.where(valid[None, :, None], dw, 0.0)
+        d = d.at[:, tgt, :].add(dw)
+    dd = _delta_logw(comp.touched, s_new, g_of_l) - _delta_logw(comp.touched, s, g_of_l)
+    d = d + dd[:, sites, :]
+    return d
+
+
+def site_color_update(comp: Compiled, s, subkeys, c: int, parity: int):
+    """Metropolis on (color-c var, sub-slice of given parity) positions."""
+    sites = comp.color_sites[c]
+    R, _, Lt = s.shape
+    tpar = (np.arange(Lt) % 2) == parity
+    flip = jnp.asarray(tpar)[None, None, :]  # color-c vars at parity sub-slices
+    si = jnp.take(s, sites, axis=1)
+    s_new = s.at[:, sites].set(jnp.where(flip, -si, si))
+    d = _flip_delta_per_site(comp, s, s_new, c)  # [R, Cc, Lt] per transfer
+    # flip at sub-slice l affects transfers l-1 and l
+    dpos = jnp.roll(d, 1, axis=2) + d  # indexed by sub-slice l
+    u = _uniform_per_replica(subkeys, (sites.shape[0], Lt))
+    # Glauber acceptance: parallel Metropolis phases are reducible (downhill
+    # moves fire with probability exactly 1, killing reverse paths); sigmoid
+    # keeps both outcomes strictly positive and preserves detailed balance
+    acc = (u < jax.nn.sigmoid(dpos)) & jnp.asarray(tpar)[None, None, :]
+    return s.at[:, sites].set(jnp.where(acc, -si, si))
+
+
+def line_color_update(comp: Compiled, s, subkeys, c: int):
+    """Full-worldline flips of color-c variables (delta-free global move)."""
+    sites = comp.color_sites[c]
+    si = jnp.take(s, sites, axis=1)
+    s_new = s.at[:, sites].set(-si)
+    d = _flip_delta_per_site(comp, s, s_new, c).sum(-1)  # [R, Cc]
+    u = _uniform_per_replica(subkeys, (sites.shape[0],))
+    acc = (u < jax.nn.sigmoid(d))[:, :, None]  # Glauber (see site update)
+    return s.at[:, sites].set(jnp.where(acc, -si, si))
+
+
+def slice_color_update(comp: Compiled, s, subkeys, c: int, ltau: int):
+    """Per-Trotter-slice flips (do_loop_updates family): flip a color-c var
+    across all G sub-slices of one Trotter slice."""
+    sites = comp.color_sites[c]
+    R, _, Lt = s.shape
+    G = comp.G
+    keys, ksel = split_keys(subkeys)
+    tau = jax.vmap(lambda k: jax.random.randint(k, (), 0, ltau))(ksel)  # [R]
+    in_slice = jnp.asarray(np.arange(Lt)[None, :] // G) == tau[:, None]  # [R, Lt]
+    si = jnp.take(s, sites, axis=1)
+    s_new = s.at[:, sites].set(jnp.where(in_slice[:, None, :], -si, si))
+    d = _flip_delta_per_site(comp, s, s_new, c).sum(-1)  # [R, Cc]
+    u = _uniform_per_replica(keys, (sites.shape[0],))
+    acc = (u < jax.nn.sigmoid(d))[:, :, None] & in_slice[:, None, :]  # Glauber
+    return s.at[:, sites].set(jnp.where(acc, -si, si))
+
+
+def segment_color_update(comp: Compiled, s, subkeys):
+    """Random-segment flips: each (replica, color-c var) flips a uniformly
+    random contiguous sub-slice interval of its worldline. Creates/destroys
+    kink pairs at arbitrary separations (the SSE loop-update analogue) —
+    single-site flips alone change kink number only by slow local steps."""
+    R, _, Lt = s.shape
+    for c in range(len(comp.color_sites)):
+        sites = comp.color_sites[c]
+        Cc = sites.shape[0]
+        subkeys, k1 = split_keys(subkeys)
+        u = _uniform_per_replica(k1, (Cc, 3))
+        l1 = (u[..., 0] * Lt).astype(jnp.int32)  # [R, Cc]
+        ln = 1 + (u[..., 1] * (Lt - 1)).astype(jnp.int32)  # length 1..Lt-1
+        pos = jnp.arange(Lt)[None, None, :]
+        mask = ((pos - l1[..., None]) % Lt) < ln[..., None]  # [R, Cc, Lt]
+        si = jnp.take(s, sites, axis=1)
+        s_new = s.at[:, sites].set(jnp.where(mask, -si, si))
+        d = _flip_delta_per_site(comp, s, s_new, c).sum(-1)  # [R, Cc]
+        acc = (u[..., 2] < jax.nn.sigmoid(d))[:, :, None]  # Glauber
+        s = s.at[:, sites].set(jnp.where(acc & mask, -si, si))
+    return s, subkeys
+
+
+def free_var_update(comp: Compiled, s, subkeys):
+    """Variables in no interaction are free spins: resample their (constant)
+    worldlines uniformly."""
+    fv = comp.free_vars
+    if fv.shape[0] == 0:
+        return s
+    R = s.shape[0]
+    rs = jax.vmap(lambda k: jax.random.bernoulli(k, 0.5, (fv.shape[0],)))(subkeys)
+    newv = (rs.astype(_S) * 2 - 1)[:, :, None]
+    return s.at[:, fv].set(jnp.broadcast_to(newv, (R, fv.shape[0], s.shape[2])))
+
+
+def sweep(comp: Compiled, s, keys, ltau: int, do_loop: bool):
+    for c in range(len(comp.color_sites)):
+        for parity in (0, 1):
+            keys, sub = split_keys(keys)
+            s = site_color_update(comp, s, sub, c, parity)
+    for _ in range(N_SEGMENT_PASSES):
+        keys, sub = split_keys(keys)
+        s, _ = segment_color_update(comp, s, sub)
+    for c in range(len(comp.color_sites)):
+        keys, sub = split_keys(keys)
+        s = line_color_update(comp, s, sub, c)
+    if do_loop:
+        for c in range(len(comp.color_sites)):
+            keys, sub = split_keys(keys)
+            s = slice_color_update(comp, s, sub, c, ltau)
+    keys, sub = split_keys(keys)
+    s = free_var_update(comp, s, sub)
+    return s, keys
+
+
+def run_sweeps(comp, s, keys, timesteps, ltau, do_loop, offset):
+    def body(carry, _):
+        s, keys, esum = carry
+        s, keys = sweep(comp, s, keys, ltau, do_loop)
+        return (s, keys, esum + total_energy(comp, s, ltau, offset)), None
+
+    (s, keys, esum), _ = lax.scan(
+        body, (s, keys, jnp.zeros(s.shape[0], _F)), None, length=timesteps
+    )
+    return s, keys, esum
+
+
+def run_sweeps_sample(comp, s, keys, timesteps, sampling_freq, ltau, do_loop, offset):
+    nsamples = timesteps // sampling_freq
+
+    def block(carry, _):
+        s, keys, esum = carry
+        for _ in range(sampling_freq):
+            s, keys = sweep(comp, s, keys, ltau, do_loop)
+            esum = esum + total_energy(comp, s, ltau, offset)
+        return (s, keys, esum), s[:, :, 0]
+
+    (s, keys, esum), samples = lax.scan(
+        block, (s, keys, jnp.zeros(s.shape[0], _F)), None, length=nsamples
+    )
+    rem = timesteps - nsamples * sampling_freq
+    for _ in range(rem):
+        s, keys = sweep(comp, s, keys, ltau, do_loop)
+        esum = esum + total_energy(comp, s, ltau, offset)
+    return s, keys, esum, jnp.swapaxes(samples, 0, 1)
+
+
+def run_sweeps_bond_sample(comp, s, keys, timesteps, sampling_freq, ltau, do_loop, offset, offsets_t, beta):
+    nsamples = timesteps // sampling_freq
+
+    def block(carry, _):
+        s, keys, esum = carry
+        for _ in range(sampling_freq):
+            s, keys = sweep(comp, s, keys, ltau, do_loop)
+            esum = esum + total_energy(comp, s, ltau, offset)
+        return (s, keys, esum), term_op_counts(comp, s, ltau, beta, offsets_t)
+
+    (s, keys, esum), samples = lax.scan(
+        block, (s, keys, jnp.zeros(s.shape[0], _F)), None, length=nsamples
+    )
+    return s, keys, esum, jnp.swapaxes(samples, 0, 1)
+
+
+class GenericWorldline:
+    """Host-side handle on a batch of generic-Hamiltonian worldline samplers."""
+
+    def __init__(
+        self,
+        termset: TermSet,
+        beta: float,
+        keys,
+        states0,  # [R, nvars] int8 classical start
+        do_loop_updates: bool,
+        dtau_target: float = DEFAULT_DTAU,
+    ):
+        self.ts = termset
+        self.beta = float(beta)
+        norm = max(
+            [1.0] + [float(np.abs(t["mat"]).sum(axis=-1).max()) for t in termset.terms]
+        )
+        ltau = max(2, int(math.ceil(self.beta * min(norm, 20.0) / dtau_target)))
+        self.ltau = ltau + (ltau % 2)
+        self.dtau = self.beta / self.ltau
+        self.comp = compile_terms(termset.nvars, termset.terms, self.dtau)
+        if (self.ltau * self.comp.G) % 2:
+            self.ltau += 1
+            self.dtau = self.beta / self.ltau
+        self.Lt = self.ltau * self.comp.G
+        self.keys = keys
+        self.do_loop = bool(do_loop_updates)
+        self.offsets_t = np.array([t["offset"] for t in termset.terms], np.float32)
+        self.s = jnp.broadcast_to(
+            states0[:, :, None], (states0.shape[0], termset.nvars, self.Lt)
+        )
+        # comp holds static numpy index structures: close it over the jitted
+        # drivers (one compile per term set, shared across calls)
+        self._jit_sweeps = jax.jit(
+            partial(run_sweeps, self.comp),
+            static_argnames=("timesteps", "ltau", "do_loop"),
+        )
+        self._jit_sample = jax.jit(
+            partial(run_sweeps_sample, self.comp),
+            static_argnames=("timesteps", "sampling_freq", "ltau", "do_loop"),
+        )
+        self._jit_bond = jax.jit(
+            partial(run_sweeps_bond_sample, self.comp),
+            static_argnames=("timesteps", "sampling_freq", "ltau", "do_loop"),
+        )
+
+    def timesteps(self, t: int):
+        if t == 0:
+            return np.asarray(
+                total_energy(self.comp, self.s, self.ltau, self.ts.offset), np.float64
+            )
+        self.s, self.keys, esum = self._jit_sweeps(
+            self.s, self.keys, timesteps=int(t), ltau=self.ltau,
+            do_loop=self.do_loop, offset=jnp.float32(self.ts.offset),
+        )
+        return np.asarray(esum, np.float64) / t
+
+    def timesteps_sample(self, t: int, freq: int):
+        self.s, self.keys, esum, samples = self._jit_sample(
+            self.s, self.keys, timesteps=int(t), sampling_freq=int(freq),
+            ltau=self.ltau, do_loop=self.do_loop, offset=jnp.float32(self.ts.offset),
+        )
+        return np.asarray(esum, np.float64) / max(t, 1), np.asarray(samples == 1)
+
+    def bond_sample(self, t: int, freq: int):
+        self.s, self.keys, esum, samples = self._jit_bond(
+            self.s, self.keys, timesteps=int(t), sampling_freq=int(freq),
+            ltau=self.ltau, do_loop=self.do_loop,
+            offset=jnp.float32(self.ts.offset),
+            offsets_t=jnp.asarray(self.offsets_t), beta=jnp.float32(self.beta),
+        )
+        counts = np.maximum(np.rint(np.asarray(samples, np.float64)), 0).astype(np.int64)
+        return np.asarray(esum, np.float64) / max(t, 1), counts
+
+    def itime_states(self, g: int) -> np.ndarray:
+        return np.asarray(self.s[g].T == 1)

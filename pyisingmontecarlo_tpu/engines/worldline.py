@@ -91,6 +91,23 @@ def make_params(beta, gamma, h, L: int) -> WlParams:
 
 
 # --------------------------------------------------------------------- sweeps
+#
+# Coupling arrays (ga.c_j, ga.e_*_j, ga.edge_j) may carry a leading replica
+# axis ([R, ...] instead of [...]) for mixed ensembles — LatticeTempering's
+# per-replica edge overrides (tempering.rs:70-113). The _b* helpers broadcast
+# either layout against [R, ..., L] spin tensors.
+
+
+def _b2(j):  # [E] or [R, E] -> broadcastable to [R, E]
+    return j if j.ndim == 2 else j[None]
+
+
+def _b3(j):  # [E] or [R, E] -> broadcastable to [R, E, L]
+    return j[..., None] if j.ndim == 2 else j[None, :, None]
+
+
+def _b4(j):  # [C, D] or [R, C, D] -> broadcastable to [R, C, D, L]
+    return j[..., None] if j.ndim == 3 else j[None, :, :, None]
 
 
 def _spatial_field(ga: GraphArrays, s, c: int):
@@ -98,7 +115,7 @@ def _spatial_field(ga: GraphArrays, s, c: int):
     nbrs, jrow = ga.c_nbrs[c], ga.c_j[c]
     R, _, L = s.shape
     sj = jnp.take(s, nbrs.reshape(-1), axis=1).reshape(R, *nbrs.shape, L).astype(_F)
-    return (jrow[None, :, :, None] * sj).sum(2)
+    return (_b4(jrow) * sj).sum(2)
 
 
 def _site_color_update(ga, p: WlParams, s, subkeys, c: int, parity: int, heatbath: bool):
@@ -112,7 +129,11 @@ def _site_color_update(ga, p: WlParams, s, subkeys, c: int, parity: int, heatbat
     kt = p.ktau[:, None, None]
     dE = -2.0 * si.astype(_F) * (dt * (B + p.h[:, None, None]) - kt * (up + dn))
     u = _uniform_per_replica(subkeys, (sites.shape[0], s.shape[2]))
-    acc = _accept(u, dE, 1.0, heatbath)  # beta already folded into couplings
+    # Glauber acceptance always: parallel Metropolis phases are reducible on
+    # near-frozen time rings (downhill flips fire with probability exactly 1,
+    # killing reverse paths); heat-bath keeps both outcomes strictly positive.
+    # The FK cluster updates supply the large moves either way.
+    acc = _accept(u, dE, 1.0, True)  # beta already folded into couplings
     tpar = (jnp.arange(s.shape[2]) % 2) == parity
     acc = acc & tpar[None, None, :]
     return s.at[:, sites].set(jnp.where(acc, -si, si))
@@ -183,7 +204,7 @@ def _single_cluster_step(ga, p: WlParams, s, subkeys):
     size = member.sum(-1)
     # spatial field on line i0
     nbrs = ga.neighbors[i0]  # [R, D]
-    jrow = ga.jmat[i0]
+    jrow = ga.jmat[i0] if ga.jmat.ndim == 2 else ga.jmat[r_idx, i0]
     sj = s[r_idx[:, None], nbrs].astype(_F)  # [R, D, L]
     B = (jrow[:, :, None] * sj).sum(1)  # [R, L]
     dE = (-2.0 * line.astype(_F) * p.dtau[:, None] * (B + p.h[:, None]) * member).sum(-1)
@@ -203,12 +224,12 @@ def _edge_worldline_update(ga, p: WlParams, s, subkeys, c: int, heatbath: bool):
     sb = jnp.take(s, b, axis=1).astype(_F)
     na, ja = ga.e_a_nbrs[c], ga.e_a_j[c]
     nb_, jb = ga.e_b_nbrs[c], ga.e_b_j[c]
-    Ba = (ja[None, :, :, None] * jnp.take(s, na.reshape(-1), axis=1).reshape(R, *na.shape, L).astype(_F)).sum(2)
-    Bb = (jb[None, :, :, None] * jnp.take(s, nb_.reshape(-1), axis=1).reshape(R, *nb_.shape, L).astype(_F)).sum(2)
+    Ba = (_b4(ja) * jnp.take(s, na.reshape(-1), axis=1).reshape(R, *na.shape, L).astype(_F)).sum(2)
+    Bb = (_b4(jb) * jnp.take(s, nb_.reshape(-1), axis=1).reshape(R, *nb_.shape, L).astype(_F)).sum(2)
     dt = p.dtau[:, None, None]
     h = p.h[:, None, None]
     dE = (
-        dt * (-2.0 * sa * (Ba + h) - 2.0 * sb * (Bb + h) + 4.0 * j[None, :, None] * sa * sb)
+        dt * (-2.0 * sa * (Ba + h) - 2.0 * sb * (Bb + h) + 4.0 * _b3(j) * sa * sb)
     ).sum(-1)  # [R, Ec]
     u = _uniform_per_replica(subkeys, (a.shape[0],))
     acc = _accept(u, dE, 1.0, heatbath)
@@ -244,7 +265,7 @@ def diagonal_energy(ga, p: WlParams, s):
     """Slice-averaged diagonal energy sum_b J<ss> + h sum_i <s>  -> [R]."""
     sf = s.astype(_F)
     eb = (
-        ga.edge_j[None, :, None] * jnp.take(sf, ga.edge_a, axis=1) * jnp.take(sf, ga.edge_b, axis=1)
+        _b3(ga.edge_j) * jnp.take(sf, ga.edge_a, axis=1) * jnp.take(sf, ga.edge_b, axis=1)
     ).sum((1, 2))
     eh = p.h * sf.sum((1, 2))
     return (eb + eh) / s.shape[2]
@@ -273,14 +294,14 @@ def bond_op_counts(ga, p: WlParams, s):
     J_b <s_a s_b>) (Sandvik offset convention) -> [R, nbonds] f32."""
     sf = s.astype(_F)
     ss = (jnp.take(sf, ga.edge_a, axis=1) * jnp.take(sf, ga.edge_b, axis=1)).mean(2)
-    return p.beta[:, None] * (jnp.abs(ga.edge_j)[None] - ga.edge_j[None] * ss)
+    return p.beta[:, None] * (jnp.abs(_b2(ga.edge_j)) - _b2(ga.edge_j) * ss)
 
 
 def log_weight(ga, p: WlParams, s):
     """log W(s) under parameters p — used for tempering swap acceptance."""
     sf = s.astype(_F)
     eb = (
-        ga.edge_j[None, :, None] * jnp.take(sf, ga.edge_a, axis=1) * jnp.take(sf, ga.edge_b, axis=1)
+        _b3(ga.edge_j) * jnp.take(sf, ga.edge_a, axis=1) * jnp.take(sf, ga.edge_b, axis=1)
     ).sum((1, 2))
     eh = p.h[:, None] * sf.sum(1)  # [R, L]
     diag = -p.dtau * (eb + eh.sum(-1))

@@ -16,15 +16,17 @@ the graph once into dense, statically-shaped arrays that every kernel consumes:
 - **Edge coloring**: proper edge coloring (no two edges of one class share a
   vertex) enabling conflict-free parallel pair-flip ("edge move") updates.
 
-A native C++ implementation of the hot compilation passes lives in
-``native/graphc.cpp`` (loaded via ctypes); the numpy implementation here is the
-reference/fallback path and the two are cross-checked in tests.
+All compilation products are **lazy**: uniform square tori dispatch to the
+fused 2D kernels and never pay for coloring. The hot compilation passes for
+large arbitrary graphs run in native C++ (native/graphc.cpp via ctypes, the
+TPU-native stand-in for the reference's Rust graph layer); the numpy/python
+implementations here are the reference/fallback path and the two are
+cross-checked in tests.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -32,6 +34,7 @@ __all__ = [
     "CompiledGraph",
     "parse_edges",
     "compile_graph",
+    "compile_graph_arrays",
     "grid_2d_edges",
     "detect_square_torus",
 ]
@@ -45,47 +48,43 @@ def parse_edges(edges: Sequence) -> Tuple[int, np.ndarray, np.ndarray, np.ndarra
     """
     if len(edges) == 0:
         raise ValueError("Must supply some edges for graph")
-    ea = np.empty(len(edges), dtype=np.int32)
-    eb = np.empty(len(edges), dtype=np.int32)
-    ej = np.empty(len(edges), dtype=np.float64)
-    for i, ((a, b), j) in enumerate(edges):
-        a = int(a)
-        b = int(b)
-        if a < 0 or b < 0:
-            raise ValueError(f"Edge ({a}, {b}) has a negative vertex index")
-        if a == b:
-            raise ValueError(f"Edge ({a}, {b}) is a self-loop")
-        ea[i] = a
-        eb[i] = b
-        ej[i] = float(j)
+    arr = np.array([(a, b, j) for (a, b), j in edges], dtype=np.float64)
+    ea = arr[:, 0].astype(np.int64)
+    eb = arr[:, 1].astype(np.int64)
+    if np.any(arr[:, 0] != ea) or np.any(arr[:, 1] != eb):
+        raise ValueError("Edge vertex indices must be integers")
+    if (ea < 0).any() or (eb < 0).any():
+        raise ValueError("Edge vertex indices must be non-negative")
+    if (ea == eb).any():
+        k = int(np.nonzero(ea == eb)[0][0])
+        raise ValueError(f"Edge ({ea[k]}, {eb[k]}) is a self-loop")
     nvars = int(max(ea.max(), eb.max())) + 1
-    return nvars, ea, eb, ej
+    return nvars, ea.astype(np.int32), eb.astype(np.int32), arr[:, 2].copy()
 
 
-def _build_ell(nvars: int, ea: np.ndarray, eb: np.ndarray, ej: np.ndarray):
-    """Pack the (undirected) edge list into ELL adjacency with zero-padding."""
-    degree = np.zeros(nvars, dtype=np.int32)
-    np.add.at(degree, ea, 1)
-    np.add.at(degree, eb, 1)
+def _build_ell_numpy(nvars, ea, eb, ej):
+    """Vectorized ELL packing (O(E log E)): both edge directions sorted by
+    source vertex; position within each vertex group is the ELL slot."""
+    E = len(ea)
+    # interleave endpoints (a0, b0, a1, b1, ...) so slot order matches the
+    # native library's edge-order packing exactly
+    src = np.column_stack([ea, eb]).reshape(-1)
+    dst = np.column_stack([eb, ea]).reshape(-1)
+    js = np.repeat(ej, 2)
+    order = np.argsort(src, kind="stable")
+    ssrc = src[order]
+    degree = np.bincount(src, minlength=nvars).astype(np.int32)
     max_deg = max(int(degree.max()), 1)
+    starts = np.zeros(nvars + 1, dtype=np.int64)
+    np.cumsum(degree, out=starts[1:])
+    pos = np.arange(2 * E, dtype=np.int64) - starts[ssrc]
     neighbors = np.zeros((nvars, max_deg), dtype=np.int32)
     jmat = np.zeros((nvars, max_deg), dtype=np.float64)
-    # edge slot of each endpoint (edge k occupies slot edge_slot_a[k] of vertex ea[k])
-    edge_slot_a = np.zeros(len(ea), dtype=np.int32)
-    edge_slot_b = np.zeros(len(eb), dtype=np.int32)
-    fill = np.zeros(nvars, dtype=np.int32)
-    for k in range(len(ea)):
-        a, b, j = int(ea[k]), int(eb[k]), ej[k]
-        sa, sb = fill[a], fill[b]
-        neighbors[a, sa] = b
-        jmat[a, sa] = j
-        neighbors[b, sb] = a
-        jmat[b, sb] = j
-        edge_slot_a[k] = sa
-        edge_slot_b[k] = sb
-        fill[a] = sa + 1
-        fill[b] = sb + 1
-    return neighbors, jmat, degree, max_deg, edge_slot_a, edge_slot_b
+    neighbors[ssrc, pos] = dst[order]
+    jmat[ssrc, pos] = js[order]
+    slots = np.empty(2 * E, dtype=np.int32)
+    slots[order] = pos.astype(np.int32)
+    return neighbors, jmat, degree, max_deg, slots[0::2].copy(), slots[1::2].copy()
 
 
 def _adjacency_lists(nvars, ea, eb):
@@ -96,12 +95,12 @@ def _adjacency_lists(nvars, ea, eb):
     return adj
 
 
-def _color_sites(nvars: int, ea: np.ndarray, eb: np.ndarray) -> np.ndarray:
-    """Proper vertex coloring. Exact 2-coloring for bipartite graphs (BFS),
-    greedy largest-degree-first otherwise. Isolated vertices get color 0."""
+def _color_sites_python(nvars: int, ea: np.ndarray, eb: np.ndarray) -> np.ndarray:
+    """Proper vertex coloring (fallback implementation for small graphs; the
+    native library handles large ones). Exact 2-coloring for bipartite graphs
+    (BFS), greedy largest-degree-first otherwise."""
     adj = _adjacency_lists(nvars, ea, eb)
     colors = np.full(nvars, -1, dtype=np.int32)
-    # BFS bipartite attempt
     bipartite = True
     for s in range(nvars):
         if colors[s] >= 0:
@@ -121,7 +120,6 @@ def _color_sites(nvars: int, ea: np.ndarray, eb: np.ndarray) -> np.ndarray:
             break
     if bipartite:
         return colors
-    # greedy largest-degree-first
     colors[:] = -1
     order = np.argsort(-np.array([len(a) for a in adj]), kind="stable")
     for v in order:
@@ -133,11 +131,11 @@ def _color_sites(nvars: int, ea: np.ndarray, eb: np.ndarray) -> np.ndarray:
     return colors
 
 
-def _color_edges(nvars: int, ea: np.ndarray, eb: np.ndarray) -> np.ndarray:
-    """Greedy proper edge coloring (<= 2*max_deg - 1 classes)."""
+def _color_edges_python(nvars: int, ea: np.ndarray, eb: np.ndarray) -> np.ndarray:
+    """Greedy proper edge coloring (<= 2*max_deg - 1 classes); fallback."""
     nedges = len(ea)
     ecolors = np.full(nedges, -1, dtype=np.int32)
-    incident = [[] for _ in range(nvars)]  # edge ids per vertex
+    incident = [[] for _ in range(nvars)]
     for k in range(nedges):
         incident[int(ea[k])].append(k)
         incident[int(eb[k])].append(k)
@@ -154,27 +152,108 @@ def _color_edges(nvars: int, ea: np.ndarray, eb: np.ndarray) -> np.ndarray:
     return ecolors
 
 
-@dataclass(frozen=True)
-class CompiledGraph:
-    """Immutable compiled form of an edge-list graph, consumed by all engines."""
+def _native():
+    try:
+        from . import _native_graph
 
-    nvars: int
-    nedges: int
-    max_deg: int
-    edge_a: np.ndarray  # [nedges] int32
-    edge_b: np.ndarray  # [nedges] int32
-    edge_j: np.ndarray  # [nedges] f64
-    neighbors: np.ndarray  # [nvars, max_deg] int32 (padded with 0)
-    jmat: np.ndarray  # [nvars, max_deg] f64 (padded with 0.0)
-    degree: np.ndarray  # [nvars] int32
-    colors: np.ndarray  # [nvars] int32
-    ncolors: int
-    color_sites: Tuple[np.ndarray, ...]  # per color: sorted site indices
-    edge_colors: np.ndarray  # [nedges] int32
-    necolors: int
-    ecolor_edges: Tuple[np.ndarray, ...]  # per edge color: edge ids
-    edge_slot_a: np.ndarray  # [nedges] slot of edge within ELL row of a
-    edge_slot_b: np.ndarray
+        return _native_graph if _native_graph.available() else None
+    except Exception:
+        return None
+
+
+class CompiledGraph:
+    """Compiled form of an edge-list graph, consumed by all engines.
+
+    Edge arrays are materialized immediately; ELL adjacency and the two
+    colorings are built lazily on first access (the 2D-torus fast path never
+    needs them)."""
+
+    def __init__(self, nvars: int, edge_a: np.ndarray, edge_b: np.ndarray, edge_j: np.ndarray):
+        self.nvars = int(nvars)
+        self.edge_a = np.asarray(edge_a, np.int32)
+        self.edge_b = np.asarray(edge_b, np.int32)
+        self.edge_j = np.asarray(edge_j, np.float64)
+        self.nedges = len(self.edge_a)
+        self._ell = None
+        self._colors: Optional[np.ndarray] = None
+        self._ecolors: Optional[np.ndarray] = None
+
+    # ------------------------------------------------------------------- ELL
+
+    def _ensure_ell(self):
+        if self._ell is None:
+            ng = _native()
+            if ng is not None:
+                self._ell = ng.build_ell(self.nvars, self.edge_a, self.edge_b, self.edge_j)
+            else:
+                self._ell = _build_ell_numpy(self.nvars, self.edge_a, self.edge_b, self.edge_j)
+        return self._ell
+
+    @property
+    def neighbors(self) -> np.ndarray:
+        return self._ensure_ell()[0]
+
+    @property
+    def jmat(self) -> np.ndarray:
+        return self._ensure_ell()[1]
+
+    @property
+    def degree(self) -> np.ndarray:
+        return self._ensure_ell()[2]
+
+    @property
+    def max_deg(self) -> int:
+        return self._ensure_ell()[3]
+
+    @property
+    def edge_slot_a(self) -> np.ndarray:
+        return self._ensure_ell()[4]
+
+    @property
+    def edge_slot_b(self) -> np.ndarray:
+        return self._ensure_ell()[5]
+
+    # -------------------------------------------------------------- coloring
+
+    @property
+    def colors(self) -> np.ndarray:
+        if self._colors is None:
+            ng = _native()
+            if ng is not None:
+                self._colors = ng.color_sites(self.nvars, self.edge_a, self.edge_b)
+            else:
+                self._colors = _color_sites_python(self.nvars, self.edge_a, self.edge_b)
+        return self._colors
+
+    @property
+    def ncolors(self) -> int:
+        return int(self.colors.max()) + 1
+
+    @property
+    def color_sites(self) -> Tuple[np.ndarray, ...]:
+        c = self.colors
+        return tuple(np.nonzero(c == k)[0].astype(np.int32) for k in range(self.ncolors))
+
+    @property
+    def edge_colors(self) -> np.ndarray:
+        if self._ecolors is None:
+            ng = _native()
+            if ng is not None:
+                self._ecolors = ng.color_edges(self.nvars, self.edge_a, self.edge_b)
+            else:
+                self._ecolors = _color_edges_python(self.nvars, self.edge_a, self.edge_b)
+        return self._ecolors
+
+    @property
+    def necolors(self) -> int:
+        return int(self.edge_colors.max()) + 1
+
+    @property
+    def ecolor_edges(self) -> Tuple[np.ndarray, ...]:
+        ec = self.edge_colors
+        return tuple(np.nonzero(ec == k)[0].astype(np.int32) for k in range(self.necolors))
+
+    # ------------------------------------------------------------ validation
 
     def validate(self) -> None:
         """Debug assertion: colorings are proper (SURVEY.md section 5, race
@@ -191,49 +270,13 @@ class CompiledGraph:
 
 def compile_graph(edges: Sequence) -> CompiledGraph:
     nvars, ea, eb, ej = parse_edges(edges)
-    return compile_graph_arrays(nvars, ea, eb, ej)
+    return CompiledGraph(nvars, ea, eb, ej)
 
 
 def compile_graph_arrays(
     nvars: int, ea: np.ndarray, eb: np.ndarray, ej: np.ndarray
 ) -> CompiledGraph:
-    try:
-        from . import _native_graph as ng
-
-        neighbors, jmat, degree, max_deg, slot_a, slot_b = ng.build_ell(nvars, ea, eb, ej)
-        colors = ng.color_sites(nvars, ea, eb)
-        ecolors = ng.color_edges(nvars, ea, eb)
-    except Exception:  # native lib absent/unbuilt: numpy fallback
-        neighbors, jmat, degree, max_deg, slot_a, slot_b = _build_ell(nvars, ea, eb, ej)
-        colors = _color_sites(nvars, ea, eb)
-        ecolors = _color_edges(nvars, ea, eb)
-    ncolors = int(colors.max()) + 1 if nvars else 1
-    color_sites = tuple(
-        np.nonzero(colors == c)[0].astype(np.int32) for c in range(ncolors)
-    )
-    necolors = int(ecolors.max()) + 1
-    ecolor_edges = tuple(
-        np.nonzero(ecolors == c)[0].astype(np.int32) for c in range(necolors)
-    )
-    return CompiledGraph(
-        nvars=nvars,
-        nedges=len(ea),
-        max_deg=max_deg,
-        edge_a=ea,
-        edge_b=eb,
-        edge_j=ej,
-        neighbors=neighbors,
-        jmat=jmat,
-        degree=degree,
-        colors=colors,
-        ncolors=ncolors,
-        color_sites=color_sites,
-        edge_colors=ecolors,
-        necolors=necolors,
-        ecolor_edges=ecolor_edges,
-        edge_slot_a=slot_a,
-        edge_slot_b=slot_b,
-    )
+    return CompiledGraph(nvars, ea, eb, ej)
 
 
 def grid_2d_edges(lx: int, ly: int, j: float = -1.0, periodic: bool = True):
@@ -252,7 +295,8 @@ def grid_2d_edges(lx: int, ly: int, j: float = -1.0, periodic: bool = True):
 def detect_square_torus(cg: CompiledGraph):
     """Detect whether the compiled graph is exactly an LxL periodic square
     lattice with uniform coupling, for dispatch to the fused 2D fast-path
-    kernel. Returns (L, J) or None."""
+    kernels. Pure edge-array test (no ELL/coloring needed). Returns (L, J) or
+    None."""
     n = cg.nvars
     L = int(round(np.sqrt(n)))
     if L * L != n or L < 4 or L % 2 != 0:
@@ -262,16 +306,19 @@ def detect_square_torus(cg: CompiledGraph):
     j0 = cg.edge_j[0]
     if not np.all(cg.edge_j == j0):
         return None
-    want = set()
-    for x in range(L):
-        for y in range(L):
-            v = x * L + y
-            want.add((min(v, ((x + 1) % L) * L + y), max(v, ((x + 1) % L) * L + y)))
-            want.add((min(v, x * L + (y + 1) % L), max(v, x * L + (y + 1) % L)))
-    have = {
-        (min(int(a), int(b)), max(int(a), int(b)))
-        for a, b in zip(cg.edge_a, cg.edge_b)
-    }
-    if have != want:
+    a = cg.edge_a.astype(np.int64)
+    b = cg.edge_b.astype(np.int64)
+    have = np.sort(np.minimum(a, b) * n + np.maximum(a, b))
+    x = np.arange(n, dtype=np.int64) // L
+    y = np.arange(n, dtype=np.int64) % L
+    right = ((x + 1) % L) * L + y
+    down = x * L + (y + 1) % L
+    v = np.arange(n, dtype=np.int64)
+    want = np.concatenate(
+        [np.minimum(v, right) * n + np.maximum(v, right),
+         np.minimum(v, down) * n + np.maximum(v, down)]
+    )
+    want = np.sort(want)
+    if have.shape != want.shape or not np.array_equal(have, want):
         return None
     return L, float(j0)

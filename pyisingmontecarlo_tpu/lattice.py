@@ -22,7 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .engines import classical as ce
-from .graph import compile_graph
+from .graph import compile_graph, detect_square_torus
+from .ops import lattice2d as l2d
 from .rng import MasterRng, keys_from_seeds
 
 __all__ = ["Lattice"]
@@ -53,6 +54,9 @@ class Lattice:
         self.enable_rvb = False
         self.enable_heatbath = False
         self._ga = None  # lazily-built device graph
+        # uniform-J periodic square lattices dispatch to the fused 2D fast
+        # path (ops/lattice2d.py); (L, J) or None
+        self._torus = detect_square_torus(self.cg)
 
     # ------------------------------------------------------------------ config
 
@@ -155,6 +159,29 @@ class Lattice:
             s0 = ce.random_states(keys, self.nvars)
         return s0, keys
 
+    def _fast2d(self) -> bool:
+        """Dispatch classical runs to the fused 2D torus path when the graph is
+        a uniform-J periodic square lattice and the bias is global. The fast
+        path runs checkerboard single-spin sweeps (the extra edge/worm families
+        are redundant for ergodicity on an unfrustrated uniform torus; the
+        sampled equilibrium distribution is identical)."""
+        return self._torus is not None and self.bias[0] == "global" and not self.enable_heatbath
+
+    def _classical_setup_2d(self, num_experiments: int):
+        L = self._torus[0]
+        seeds = self.rng.make_seeds(num_experiments)
+        keys = keys_from_seeds(seeds)
+        if self.initial_state is not None:
+            s0 = jnp.broadcast_to(
+                jnp.asarray(np.where(self.initial_state, 1, -1).astype(np.int8)).reshape(L, L)[
+                    None
+                ],
+                (num_experiments, L, L),
+            )
+        else:
+            s0 = l2d.random_states_2d(keys, L)
+        return s0, keys
+
     def _check_classical(self):
         """lattice.rs:216-220 — classical runs reject a set transverse field."""
         if self.transverse is not None:
@@ -204,10 +231,19 @@ class Lattice:
         same distribution, so the flag is accepted without changing dynamics.
         """
         self._check_classical()
+        beta_arr = jnp.full(int(timesteps), float(beta), jnp.float32)
+        if self._fast2d():
+            _, J = self._torus
+            h = float(self.bias[1])
+            s0, keys = self._classical_setup_2d(num_experiments)
+            s, _ = l2d.run_steps_2d(s0, keys, beta_arr, J, h)
+            es = l2d.energy_2d(s, J, h)
+            return np.asarray(es, np.float64), np.asarray(
+                s.reshape(num_experiments, self.nvars) == 1
+            )
         ga = self._graph_arrays()
         bias = jnp.asarray(self._bias_vector(), jnp.float32)
         s0, keys = self._classical_setup(num_experiments)
-        beta_arr = jnp.full(int(timesteps), float(beta), jnp.float32)
         s, _ = ce.run_steps(ga, bias, s0, keys, beta_arr, **self._move_args(only_basic_moves))
         es = ce.energy(ga, bias, s)
         return np.asarray(es, np.float64), np.asarray(s == 1)
@@ -224,6 +260,22 @@ class Lattice:
     ):
         """lattice.rs:231-299 -> (energies[n, t/freq], states[n, t/freq, nvars])."""
         self._check_classical()
+        if self._fast2d():
+            _, J = self._torus
+            h = float(self.bias[1])
+            s0, keys = self._classical_setup_2d(num_experiments)
+            therm = int(thermalization_time or 0)
+            freq = int(sampling_freq) if sampling_freq else 1
+            if therm:
+                beta_arr = jnp.full(therm, float(beta), jnp.float32)
+                s0, keys = l2d.run_steps_2d(s0, keys, beta_arr, J, h)
+            _, _, es, ss = l2d.run_sampling_2d(
+                s0, keys, float(beta), float(J), float(h), int(timesteps), freq
+            )
+            nsamp = ss.shape[1]
+            return np.asarray(es, np.float64), np.asarray(
+                ss.reshape(num_experiments, nsamp, self.nvars) == 1
+            )
         ga = self._graph_arrays()
         bias = jnp.asarray(self._bias_vector(), jnp.float32)
         s0, keys = self._classical_setup(num_experiments)
@@ -248,10 +300,19 @@ class Lattice:
     ):
         """lattice.rs:309-385 -> (energies[n], states[n, nvars])."""
         self._check_classical()
+        beta_arr = jnp.asarray(self._anneal_schedule(betas, int(timesteps)), jnp.float32)
+        if self._fast2d():
+            _, J = self._torus
+            h = float(self.bias[1])
+            s0, keys = self._classical_setup_2d(num_experiments)
+            s, _ = l2d.run_steps_2d(s0, keys, beta_arr, J, h)
+            es = l2d.energy_2d(s, J, h)
+            return np.asarray(es, np.float64), np.asarray(
+                s.reshape(num_experiments, self.nvars) == 1
+            )
         ga = self._graph_arrays()
         bias = jnp.asarray(self._bias_vector(), jnp.float32)
         s0, keys = self._classical_setup(num_experiments)
-        beta_arr = jnp.asarray(self._anneal_schedule(betas, int(timesteps)), jnp.float32)
         s, _ = ce.run_steps(ga, bias, s0, keys, beta_arr, **self._move_args(only_basic_moves))
         es = ce.energy(ga, bias, s)
         return np.asarray(es, np.float64), np.asarray(s == 1)
@@ -266,6 +327,15 @@ class Lattice:
     ):
         """lattice.rs:395-470 -> (energies[n, timesteps], states[n, nvars])."""
         self._check_classical()
+        if self._fast2d():
+            _, J = self._torus
+            h = float(self.bias[1])
+            s0, keys = self._classical_setup_2d(num_experiments)
+            beta_arr = jnp.asarray(self._anneal_schedule(betas, int(timesteps)), jnp.float32)
+            s, _, es = l2d.run_steps_2d(s0, keys, beta_arr, J, h, collect_energies=True)
+            return np.asarray(es, np.float64), np.asarray(
+                s.reshape(num_experiments, self.nvars) == 1
+            )
         ga = self._graph_arrays()
         bias = jnp.asarray(self._bias_vector(), jnp.float32)
         s0, keys = self._classical_setup(num_experiments)

@@ -1,0 +1,196 @@
+"""Fused Pallas TPU kernel: checkerboard Metropolis on a uniform square torus.
+
+The speed-of-light formulation of the benchmark path (BASELINE.json north
+star: >= 50 attempted flips/ns/chip at 1024^2):
+
+- **packed checkerboard layout**: the plane is stored as two half-width int32
+  arrays E[x, k] (sites with x+y even, y = 2k + x%2) and O[x, k] (x+y odd).
+  A phase updates one color array *unconditionally* — no parity masking, and
+  both the arithmetic and the PRNG draw touch exactly the sites being
+  updated (2x over the naive masked formulation);
+- neighbor fields in packed space: vertical neighbors keep the same packed
+  column (two row rolls); horizontal neighbors are the other array plus its
+  lane-roll, direction alternating with row parity (one roll + select);
+- both color planes live in **VMEM for the entire call** — HBM is touched
+  once on entry and once on exit, however many sweeps run;
+- randomness is the TPU **hardware PRNG** (``pltpu.prng_random_bits``);
+- acceptance needs no per-site exp: with uniform J and global bias h, the
+  local field B takes 5 even values, so ``min(1, e^{-beta dE})`` is one of 10
+  numbers per sweep, computed as scalars from the per-sweep beta (annealing
+  schedules supported) and applied via a short select chain against 31-bit
+  random integers;
+- phases run in row strips (vertical halo = one row above/below, fetched as
+  aligned 8-row blocks) to bound VMEM temporaries.
+
+Grid = one program per replica; each program seeds the PRNG from its
+replica's seed, preserving the per-experiment reproducibility contract
+(lattice.rs:83-91 discipline).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["run_steps_2d_pallas", "supported", "pack_checkerboard", "unpack_checkerboard"]
+
+_STRIP = 256  # rows per strip
+
+
+def supported(L: int = 0) -> bool:
+    """Pallas TPU path: real TPU backend and a packable lattice size."""
+    try:
+        plat = jax.devices()[0].platform
+    except Exception:
+        return False
+    if plat in ("cpu", "gpu"):
+        return False
+    return L == 0 or (L % 8 == 0 and L // 2 % 128 == 0)
+
+
+def pack_checkerboard(s):
+    """s[R, L, L] -> (E[R, L, L/2], O[R, L, L/2]): E holds x+y even sites at
+    column k = (y - x%2)/2, O holds x+y odd sites."""
+    R, L, _ = s.shape
+    pairs = s.reshape(R, L, L // 2, 2)
+    row_even = (jnp.arange(L) % 2 == 0)[None, :, None]
+    E = jnp.where(row_even, pairs[..., 0], pairs[..., 1])
+    O = jnp.where(row_even, pairs[..., 1], pairs[..., 0])
+    return E, O
+
+
+def unpack_checkerboard(E, O):
+    R, L, W = E.shape
+    row_even = (jnp.arange(L) % 2 == 0)[None, :, None]
+    p0 = jnp.where(row_even, E, O)
+    p1 = jnp.where(row_even, O, E)
+    return jnp.stack([p0, p1], axis=-1).reshape(R, L, 2 * W)
+
+
+def _dE_values(j: float, h: float) -> np.ndarray:
+    """dE for flipping spin s with neighbor sum B: dE = -2 s (J B + h).
+    Order: s=-1 with B in (-4,-2,0,2,4), then s=+1 with B in (-4,-2,0,2,4)."""
+    out = np.empty(10, np.float32)
+    for si, s in enumerate((-1.0, 1.0)):
+        for bi, B in enumerate((-4.0, -2.0, 0.0, 2.0, 4.0)):
+            out[si * 5 + bi] = -2.0 * s * (j * B + h)
+    return out
+
+
+def _kernel(
+    seeds_ref, dE_ref, beta_ref, e_in, o_in, e_out, o_out, eS, oS, *, nsweeps: int, blen: int
+):
+    r = pl.program_id(0)
+    pltpu.prng_seed(seeds_ref[r])
+    L, W = e_in.shape[1], e_in.shape[2]
+    S = _STRIP if L % _STRIP == 0 else L
+    nstrips = L // S
+    eS[:] = e_in[0].astype(jnp.int32)
+    oS[:] = o_in[0].astype(jnp.int32)
+    rowp = jax.lax.broadcasted_iota(jnp.int32, (S, W), 0) % 2  # S even: same per strip
+
+    def thresholds(beta):
+        # 10 scalar thresholds: floor(min(1, e^{-beta dE}) * (2^31-1));
+        # 31-bit compare (Mosaic lacks f32->u32 casts), resolution 2^-31
+        return [
+            (jnp.minimum(jnp.exp(-beta * dE_ref[k]), 1.0) * 2147483647.0).astype(jnp.int32)
+            for k in range(10)
+        ]
+
+    def select_thr(ts, s, B):
+        def chain(base):
+            t = jnp.full((S, W), ts[base + 4], jnp.int32)
+            for k, bv in enumerate((-4, -2, 0, 2)):
+                t = jnp.where(B == bv, ts[base + k], t)
+            return t
+
+        return jnp.where(s > 0, chain(5), chain(0))
+
+    def strip_update(i, upd, oth, even_phase, ts):
+        """Update rows [i*S, i*S+S) of color array ``upd`` from ``oth``."""
+        base = pl.multiple_of(i * S, S)
+        rows = upd[pl.ds(base, S), :]  # [S, W] sites being updated
+        orows = oth[pl.ds(base, S), :]  # same rows of the other color
+        # vertical neighbors: same packed column, rows x-1 and x+1 of oth
+        up_base = pl.multiple_of((i * S - 8) % L, 8)
+        dn_base = pl.multiple_of((i * S + S) % L, 8)
+        up = oth[pl.ds(up_base, 8), :][7:8, :]
+        dn = oth[pl.ds(dn_base, 8), :][0:1, :]
+        ext = jnp.concatenate([up, orows, dn], axis=0)  # [S+2, W]
+        # horizontal: oth same column plus lane-roll; direction alternates
+        # with row parity (and swaps between the two phases)
+        rollp = pltpu.roll(orows, 1, 1)  # brings k-1 into k
+        rollm = pltpu.roll(orows, W - 1, 1)  # brings k+1 into k
+        if even_phase:
+            horiz = jnp.where(rowp == 0, rollp, rollm)
+        else:
+            horiz = jnp.where(rowp == 0, rollm, rollp)
+        B = ext[:-2, :] + ext[2:, :] + orows + horiz
+        rb = pltpu.bitcast(pltpu.prng_random_bits((S, W)), jnp.int32)
+        rb31 = jax.lax.shift_right_logical(rb, 1)
+        acc = rb31 <= select_thr(ts, rows, B)
+        upd[pl.ds(base, S), :] = jnp.where(acc, -rows, rows)
+
+    def sweep(t, _):
+        # blen == 1 (constant beta) statically collapses the index to 0,
+        # keeping the SMEM schedule buffer tiny for long fixed-beta runs
+        beta = beta_ref[t % blen] if blen > 1 else beta_ref[0]
+        ts = thresholds(beta)
+        jax.lax.fori_loop(0, nstrips, lambda i, c: (strip_update(i, eS, oS, True, ts), c)[1], 0)
+        jax.lax.fori_loop(0, nstrips, lambda i, c: (strip_update(i, oS, eS, False, ts), c)[1], 0)
+        return 0
+
+    jax.lax.fori_loop(0, nsweeps, sweep, 0)
+    e_out[0] = eS[:].astype(jnp.int8)
+    o_out[0] = oS[:].astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("nsweeps",))
+def _call(E, O, seeds, dE, beta_arr, nsweeps: int):
+    R, L, W = E.shape
+    spec = pl.BlockSpec((1, L, W), lambda r, *_: (r, 0, 0), memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # seeds, dE table, beta schedule
+        grid=(R,),
+        in_specs=[spec, spec],
+        out_specs=(spec, spec),
+        scratch_shapes=[pltpu.VMEM((L, W), jnp.int32), pltpu.VMEM((L, W), jnp.int32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel, nsweeps=nsweeps, blen=int(beta_arr.shape[0])),
+        out_shape=(
+            jax.ShapeDtypeStruct((R, L, W), jnp.int8),
+            jax.ShapeDtypeStruct((R, L, W), jnp.int8),
+        ),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=15 * R * L * W * nsweeps * 2,
+            bytes_accessed=4 * R * L * W,
+            transcendentals=20 * nsweeps,
+        ),
+    )(seeds, dE, beta_arr, E, O)
+
+
+@functools.partial(jax.jit, static_argnames=("nsweeps",))
+def _run_packed(s, seeds, dE, beta_arr, nsweeps: int):
+    E, O = pack_checkerboard(s)
+    E, O = _call(E, O, seeds, dE, beta_arr, nsweeps)
+    return unpack_checkerboard(E, O)
+
+
+def run_steps_2d_pallas(s, seeds_u32, beta_arr, j: float, h: float):
+    """Run ``len(beta_arr)`` checkerboard sweeps on ``s[R, L, L]`` int8 with
+    per-replica PRNG seeds ``seeds_u32[R]`` (int32). Returns final s."""
+    bnp = np.asarray(beta_arr, np.float32)
+    nsweeps = int(bnp.shape[0])
+    if nsweeps == 0:
+        return s
+    if nsweeps > 1 and np.all(bnp == bnp[0]):
+        bnp = bnp[:1]  # constant beta: keep the SMEM schedule buffer tiny
+    dE = jnp.asarray(_dE_values(j, h))
+    return _run_packed(s, seeds_u32, dE, jnp.asarray(bnp), nsweeps)

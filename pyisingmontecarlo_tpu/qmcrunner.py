@@ -1,0 +1,273 @@
+"""``QmcRunner`` — stateful QMC ensemble over arbitrary k-local interactions.
+
+Parity target: /root/reference/src/qmcrunner.rs:21-407 (method table in
+SURVEY.md section 2.2). The reference wraps the generic SSE engine
+``qmc::sse::Qmc``: the Hamiltonian is a sum of arbitrary k-local terms given
+as flattened 2^k x 2^k matrices over listed variable subsets, with
+``_and_offset`` variants shifting matrices to non-negative weights and
+accumulating the scalar offset (qmcrunner.rs:104-135). Here the backend is the
+Trotterized generic worldline engine (engines/generic.py).
+
+Notes on parity:
+- ``nvars`` is explicit (not inferred from edges) and initial states are
+  random (qmcrunner.rs:35-69).
+- ``add_qmc`` replays all recorded interactions onto the new instance
+  (qmcrunner.rs:86-88) — here interactions are container state, so appending a
+  replica automatically shares them.
+- interactions must be recorded before the first run; the worldline grid is
+  compiled from the term set at first use and new replicas may be added at any
+  time, but new interactions after running raise ValueError (the reference
+  would silently diverge across instances instead).
+- no checkpointing, matching the reference (SURVEY.md section 2.1 row 5).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from .engines import classical as ce
+from .engines import generic as ge
+from .rng import MasterRng, keys_from_seeds
+
+__all__ = ["QmcRunner"]
+
+
+class QmcRunner:
+    """Persistent ensemble of generic k-local-interaction QMC simulators.
+
+    Constructor parity: ``QmcRunner(nvars, num_experiments, seed?,
+    use_allocator?=true, do_loop_updates?=false, do_heatbath_updates?=false)``
+    (qmcrunner.rs:35-62). ``use_allocator`` is accepted and ignored (TPU
+    storage is dense); ``do_heatbath_updates`` selects heatbath acceptance in
+    the reference's diagonal update — our colored Metropolis sweeps keep the
+    flag for parity (it does not change the sampled distribution)."""
+
+    def __init__(
+        self,
+        nvars: int,
+        num_experiments: int,
+        seed: Optional[int] = None,
+        use_allocator: bool = True,
+        do_loop_updates: bool = False,
+        do_heatbath_updates: bool = False,
+    ):
+        self.nvars = int(nvars)
+        if self.nvars <= 0:
+            raise ValueError("nvars must be positive")
+        self.rng = MasterRng(seed)
+        self.use_allocator = bool(use_allocator)
+        self.do_loop_updates = bool(do_loop_updates)
+        self.do_heatbath_updates = bool(do_heatbath_updates)
+        self.terms = ge.TermSet(self.nvars)
+        self._keys = None
+        self._init_states = None  # [R, nvars] int8 random starts (qmcrunner.rs:69)
+        self._w: Optional[ge.GenericWorldline] = None
+        for _ in range(int(num_experiments)):
+            self.add_qmc()
+
+    # ------------------------------------------------------------------ build
+
+    @property
+    def num_graphs(self) -> int:
+        if self._w is not None:
+            return int(self._w.s.shape[0])
+        return 0 if self._keys is None else int(self._keys.shape[0])
+
+    def add_qmc(self, use_allocator: Optional[bool] = None) -> None:
+        """qmcrunner.rs:65-91 — append one simulator with a random initial
+        spin state, seeded from the container RNG."""
+        key = keys_from_seeds(self.rng.make_seeds(1))
+        s0 = ce.random_states(key, self.nvars)
+        if self._w is not None:
+            sw = jnp.broadcast_to(s0[:, :, None], (1, self.nvars, self._w.Lt))
+            self._w.s = jnp.concatenate([self._w.s, sw], axis=0)
+            self._w.keys = jnp.concatenate([self._w.keys, key], axis=0)
+        elif self._keys is None:
+            self._keys, self._init_states = key, s0
+        else:
+            self._keys = jnp.concatenate([self._keys, key], axis=0)
+            self._init_states = jnp.concatenate([self._init_states, s0], axis=0)
+
+    def _check_mutable(self):
+        if self._w is not None:
+            raise ValueError("Cannot add interactions after running the simulators")
+
+    def add_interaction(self, mat: Sequence[float], vars: Sequence[int]) -> None:
+        """qmcrunner.rs:94-101 — flattened 2^k x 2^k matrix over k variables."""
+        self._check_mutable()
+        self.terms.add(mat, vars, diagonal=False, with_offset=False)
+
+    def add_interaction_and_offset(self, mat: Sequence[float], vars: Sequence[int]) -> None:
+        """qmcrunner.rs:104-111 — shifts the matrix to non-negative weights and
+        tracks the offset."""
+        self._check_mutable()
+        self.terms.add(mat, vars, diagonal=False, with_offset=True)
+
+    def add_diagonal_interaction(self, mat: Sequence[float], vars: Sequence[int]) -> None:
+        """qmcrunner.rs:114-121 — 2^k diagonal."""
+        self._check_mutable()
+        self.terms.add(mat, vars, diagonal=True, with_offset=False)
+
+    def add_diagonal_interaction_and_offset(self, mat, vars) -> None:
+        """qmcrunner.rs:124-135."""
+        self._check_mutable()
+        self.terms.add(mat, vars, diagonal=True, with_offset=True)
+
+    def set_do_heatbath(self, enable: bool) -> None:
+        """qmcrunner.rs:138-143."""
+        self.do_heatbath_updates = bool(enable)
+
+    def set_do_loop_updates(self, enable: bool) -> None:
+        """qmcrunner.rs:145-151."""
+        self.do_loop_updates = bool(enable)
+        if self._w is not None:
+            self._w.do_loop = self.do_loop_updates
+
+    def _ensure(self, beta: float) -> ge.GenericWorldline:
+        if self._w is None:
+            self._w = ge.GenericWorldline(
+                self.terms,
+                float(beta),
+                self._keys,
+                self._init_states,
+                self.do_loop_updates,
+            )
+            self._keys = self._init_states = None
+        elif float(beta) != self._w.beta:
+            # regrid to the new beta, resampling worldlines (nearest slice)
+            old = self._w
+            s_cl = old.s[:, :, 0]  # classical snapshot at slice 0
+            self._w = ge.GenericWorldline(
+                self.terms, float(beta), old.keys, s_cl, self.do_loop_updates
+            )
+        self._w.do_loop = self.do_loop_updates
+        return self._w
+
+    # ------------------------------------------------------------------- runs
+
+    def run_sampling(
+        self,
+        beta: float,
+        timesteps: int,
+        sampling_wait_buffer: Optional[int] = None,
+        sampling_freq: Optional[int] = None,
+    ):
+        """qmcrunner.rs:161-201 -> (energies[n], states[n, t/freq, nvars])."""
+        w = self._ensure(beta)
+        wait = min(int(sampling_wait_buffer or 0), int(timesteps))
+        freq = int(sampling_freq) if sampling_freq else 1
+        if wait:
+            w.timesteps(wait)
+        es, ss = w.timesteps_sample(int(timesteps), freq)
+        return np.asarray(es, np.float64), ss
+
+    def run_bond_sampling(
+        self,
+        beta: float,
+        timesteps: int,
+        sampling_wait_buffer: Optional[int] = None,
+        sampling_freq: Optional[int] = None,
+    ):
+        """qmcrunner.rs:211-248 -> counts[n, t/freq, nbonds] int; nbonds is the
+        number of added interactions (qmcrunner.rs:221)."""
+        w = self._ensure(beta)
+        wait = min(int(sampling_wait_buffer or 0), int(timesteps))
+        freq = int(sampling_freq) if sampling_freq else 1
+        if wait:
+            w.timesteps(wait)
+        _, counts = w.bond_sample(int(timesteps), freq)
+        return counts
+
+    def _autocorr(self, beta, timesteps, wait, series_fn):
+        from .engines.observables import autocorrelation
+
+        w = self._ensure(beta)
+        if wait:
+            w.timesteps(int(wait))
+        _, samples = w.timesteps_sample(int(timesteps), 1)
+        x = np.where(samples, 1.0, -1.0)
+        return autocorrelation(series_fn(x))
+
+    def run_quantum_monte_carlo_and_measure_variable_autocorrelation(
+        self,
+        beta: float,
+        timesteps: int,
+        sampling_wait_buffer: Optional[int] = None,
+        sampling_freq: Optional[int] = None,
+    ):
+        """qmcrunner.rs:258-284 -> corrs[n, timesteps]."""
+        return np.asarray(
+            self._autocorr(beta, timesteps, sampling_wait_buffer, lambda x: x), np.float64
+        )
+
+    def run_quantum_monte_carlo_and_measure_spin_product_autocorrelation(
+        self,
+        beta: float,
+        timesteps: int,
+        spin_products: Sequence[Sequence[int]],
+        sampling_wait_buffer: Optional[int] = None,
+        sampling_freq: Optional[int] = None,
+    ):
+        """qmcrunner.rs:295-330 -> corrs[n, timesteps]."""
+        for sub in spin_products:
+            for v in sub:
+                if int(v) < 0 or int(v) >= self.nvars:
+                    raise ValueError(f"Spin product variable {v} out of bounds")
+        return np.asarray(
+            self._autocorr(
+                beta,
+                timesteps,
+                sampling_wait_buffer,
+                lambda x: np.stack(
+                    [np.prod(x[:, :, list(sub)], axis=2) for sub in spin_products], axis=2
+                ),
+            ),
+            np.float64,
+        )
+
+    def run_quantum_monte_carlo_and_measure_bond_autocorrelation(
+        self,
+        beta: float,
+        timesteps: int,
+        sampling_wait_buffer: Optional[int] = None,
+        sampling_freq: Optional[int] = None,
+    ):
+        """qmcrunner.rs:340-365 -> corrs[n, timesteps] over per-interaction
+        diagonal energy series."""
+        w = self._ensure(beta)
+        if sampling_wait_buffer:
+            w.timesteps(int(sampling_wait_buffer))
+        from .engines.observables import autocorrelation
+
+        _, counts = w.bond_sample(int(timesteps), 1)
+        return np.asarray(autocorrelation(counts.astype(np.float64)), np.float64)
+
+    # ------------------------------------------------------------ inspection
+
+    def get_offset(self) -> float:
+        """qmcrunner.rs:368-374 — accumulated constant offset."""
+        return float(self.terms.offset)
+
+    def get_graph_itime(self, g: int) -> np.ndarray:
+        """qmcrunner.rs:377-401 -> bool[Lt, nvars]."""
+        g = int(g)
+        if g < 0 or g >= self.num_graphs:
+            raise ValueError(f"Graph index {g} out of bounds")
+        if self._w is None:
+            self._ensure(1.0)
+        return self._w.itime_states(g)
+
+    def clone(self) -> "QmcRunner":
+        """qmcrunner.rs:404-406."""
+        other = QmcRunner.__new__(QmcRunner)
+        other.__dict__.update(self.__dict__)
+        other.rng = self.rng.clone()
+        other.terms = self.terms.clone()
+        if self._w is not None:
+            w = ge.GenericWorldline.__new__(ge.GenericWorldline)
+            w.__dict__.update(self._w.__dict__)
+            other._w = w
+        return other

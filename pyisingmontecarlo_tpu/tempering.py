@@ -1,0 +1,435 @@
+"""``LatticeTempering`` — replica-exchange (parallel tempering) over TFIM QMC.
+
+Parity target: /root/reference/src/tempering.rs:32-348 (method table SURVEY.md
+section 2.2). The reference wraps the qmc crate's ``TemperingContainer``:
+replicas at per-replica (beta, Gamma, h) — optionally with per-replica edge
+overrides (tempering.rs:70-113) — step in parallel bursts, with a sequential
+Metropolis neighbor-swap pass between bursts (tempering.rs:177-212 scheduler).
+
+TPU-native realization (SURVEY.md section 7): the beta ladder is one batched
+worldline array; a swap step computes every replica's log-weight of its own and
+its neighbors' configurations in one vectorized pass, then applies Metropolis
+swaps on alternating even/odd neighbor pairs (the reference's sequential
+single-thread pass becomes two conflict-free phases) and exchanges
+*configurations* via a gather. ``get_total_swaps`` counts accepted swaps.
+Acceptance uses full log-weight differences, so arbitrary per-replica
+(beta, Gamma, h, J) ladders are supported, not just beta ladders.
+
+The multi-chip version (replica axis sharded over a device mesh, swaps via
+``lax.ppermute`` boundary exchange) lives in parallel/tempering.py.
+
+Checkpointing (tempering.rs:307-347): CBOR tuple mirroring the reference's
+``FileType`` (tempering.rs:20-27); RNG is NOT saved — reload reseeds
+(tempering.rs:332-333 semantics).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .engines import classical as ce
+from .engines import worldline as wl
+from .graph import CompiledGraph, compile_graph_arrays, parse_edges
+from .rng import MasterRng, keys_from_seeds
+from .utils import cbor
+
+__all__ = ["LatticeTempering"]
+
+_F = jnp.float32
+
+
+def batched_graph_arrays(cg: CompiledGraph, jvals: np.ndarray) -> ce.GraphArrays:
+    """GraphArrays over the union topology with per-replica couplings
+    ``jvals[R, nedges]`` (leading replica axis on every J field)."""
+    R = jvals.shape[0]
+    jm = np.zeros((R, cg.nvars, cg.max_deg))
+    jm[:, cg.edge_a, cg.edge_slot_a] = jvals
+    jm[:, cg.edge_b, cg.edge_slot_b] = jvals
+    return ce.GraphArrays(
+        neighbors=jnp.asarray(cg.neighbors, jnp.int32),
+        jmat=jnp.asarray(jm, _F),
+        degree=jnp.asarray(cg.degree, jnp.int32),
+        edge_a=jnp.asarray(cg.edge_a, jnp.int32),
+        edge_b=jnp.asarray(cg.edge_b, jnp.int32),
+        edge_j=jnp.asarray(jvals, _F),
+        c_sites=tuple(jnp.asarray(s, jnp.int32) for s in cg.color_sites),
+        c_nbrs=tuple(jnp.asarray(cg.neighbors[s], jnp.int32) for s in cg.color_sites),
+        c_j=tuple(jnp.asarray(jm[:, s], _F) for s in cg.color_sites),
+        e_a=tuple(jnp.asarray(cg.edge_a[e], jnp.int32) for e in cg.ecolor_edges),
+        e_b=tuple(jnp.asarray(cg.edge_b[e], jnp.int32) for e in cg.ecolor_edges),
+        e_j=tuple(jnp.asarray(jvals[:, e], _F) for e in cg.ecolor_edges),
+        e_a_nbrs=tuple(jnp.asarray(cg.neighbors[cg.edge_a[e]], jnp.int32) for e in cg.ecolor_edges),
+        e_a_j=tuple(jnp.asarray(jm[:, cg.edge_a[e]], _F) for e in cg.ecolor_edges),
+        e_b_nbrs=tuple(jnp.asarray(cg.neighbors[cg.edge_b[e]], jnp.int32) for e in cg.ecolor_edges),
+        e_b_j=tuple(jnp.asarray(jm[:, cg.edge_b[e]], _F) for e in cg.ecolor_edges),
+    )
+
+
+def _mixed_sweep(ga, p, s, keys, hb_mask, rvb_mask, any_rvb: bool):
+    """One full sweep with per-replica heatbath/rvb flags (traced masks)."""
+    for c in range(len(ga.c_sites)):
+        for parity in (0, 1):
+            keys, sub = ce.split_keys(keys)
+            s = wl._site_color_update(ga, p, s, sub, c, parity, hb_mask)
+    for c in range(len(ga.c_sites)):
+        keys, sub = ce.split_keys(keys)
+        s = wl._time_cluster_update(ga, p, s, sub, c)
+    if any_rvb:
+        for c in range(len(ga.e_a)):
+            keys, sub = ce.split_keys(keys)
+            s2, _, _ = wl._edge_worldline_update(ga, p, s, sub, c, hb_mask)
+            s = jnp.where(rvb_mask[:, None, None], s2, s)
+    return s, keys
+
+
+def tempering_swap(ga, p, s, swapkey, phase):
+    """One even/odd neighbor-swap phase. Returns (s, swapkey, n_accepted).
+
+    Pair (r, r+1) with r % 2 == phase swaps configurations with probability
+    min(1, W_r(x_{r+1}) W_{r+1}(x_r) / [W_r(x_r) W_{r+1}(x_{r+1})])
+    (the reference's Metropolis swap, tempering.rs:192; in log space)."""
+    R = s.shape[0]
+    idx = jnp.arange(R)
+    lw_self = wl.log_weight(ga, p, s)
+    lw_up = wl.log_weight(ga, p, jnp.roll(s, -1, axis=0))  # logW_r(x_{r+1})
+    lw_dn = wl.log_weight(ga, p, jnp.roll(s, 1, axis=0))  # logW_r(x_{r-1})
+    delta = lw_up + jnp.roll(lw_dn, -1, 0) - lw_self - jnp.roll(lw_self, -1, 0)
+    leader = ((idx % 2) == phase) & (idx + 1 < R)
+    swapkey, sub = jax.random.split(swapkey)
+    u = jax.random.uniform(sub, (R,))
+    acc_leader = leader & (jnp.log(u) < delta)
+    acc_follower = jnp.roll(acc_leader, 1, 0) & (idx > 0)
+    perm = jnp.where(acc_leader, idx + 1, jnp.where(acc_follower, idx - 1, idx))
+    return jnp.take(s, perm, axis=0), swapkey, acc_leader.sum()
+
+
+@partial(jax.jit, static_argnames=("timesteps", "swap_freq", "any_rvb"))
+def run_tempering(
+    ga, p, s, keys, swapkey, hb_mask, rvb_mask, timesteps, swap_freq, any_rvb, phase0, nswaps0
+):
+    """timesteps sweeps with a swap phase every swap_freq sweeps. Collects
+    slice-0 states after every sweep (host subsamples). Returns
+    (s, keys, swapkey, esum[R], states[t, R, nvars], phase, nswaps)."""
+
+    def body(carry, t):
+        s, keys, swapkey, esum, phase, nswaps = carry
+        s, keys = _mixed_sweep(ga, p, s, keys, hb_mask, rvb_mask, any_rvb)
+        esum = esum + wl.total_energy(ga, p, s)
+
+        def do_swap(args):
+            s, swapkey, phase, nswaps = args
+            s, swapkey, nacc = tempering_swap(ga, p, s, swapkey, phase)
+            return s, swapkey, 1 - phase, nswaps + nacc
+
+        s, swapkey, phase, nswaps = lax.cond(
+            (t + 1) % swap_freq == 0,
+            do_swap,
+            lambda args: args,
+            (s, swapkey, phase, nswaps),
+        )
+        return (s, keys, swapkey, esum, phase, nswaps), s[:, :, 0]
+
+    R = s.shape[0]
+    (s, keys, swapkey, esum, phase, nswaps), states = lax.scan(
+        body,
+        (s, keys, swapkey, jnp.zeros(R, _F), phase0, nswaps0),
+        jnp.arange(timesteps),
+    )
+    return s, keys, swapkey, esum, states, phase, nswaps
+
+
+class LatticeTempering:
+    """Parallel-tempering container over worldline TFIM simulators.
+
+    Constructor parity: ``LatticeTempering(edges, seed?, use_allocator?=true)``
+    (tempering.rs:43-67); ``cutoff = nvars`` (tempering.rs:51) is retained as
+    an informational attribute (the worldline tau axis plays that role)."""
+
+    def __init__(self, edges: Sequence, seed: Optional[int] = None, use_allocator: bool = True):
+        self.edges = [((int(a), int(b)), float(j)) for (a, b), j in edges]
+        nvars, _, _, _ = parse_edges(self.edges)
+        self.nvars = nvars
+        self.cutoff = nvars
+        self.seed = seed
+        self.rng = MasterRng(seed)
+        self.use_allocator = bool(use_allocator)
+        self.graphs = []  # per-replica dicts
+        self._edge_index = {}  # (a, b) -> union edge id
+        for (a, b), j in self.edges:
+            self._edge_index.setdefault((min(a, b), max(a, b)), len(self._edge_index))
+        self.total_swaps = 0
+        self._mat = None  # materialized state dict
+        self._swapkey = None
+
+    # ---------------------------------------------------------------- ladder
+
+    def add_graph(
+        self,
+        transverse: float,
+        longitudinal: float,
+        beta: float,
+        edges: Optional[Sequence] = None,
+        enable_rvb_update: bool = False,
+        enable_heatbath_update: bool = False,
+        seed: Optional[int] = None,
+        use_allocator: Optional[bool] = None,
+    ) -> None:
+        """tempering.rs:70-113 — append a replica with its own Hamiltonian and
+        beta; optional edge override allows mixed ensembles."""
+        transverse = float(transverse)
+        if transverse <= 0:
+            raise ValueError("Transverse field must be positive for QMC")
+        if edges is not None:
+            own = [((int(a), int(b)), float(j)) for (a, b), j in edges]
+            for (a, b), _ in own:
+                if a >= self.nvars or b >= self.nvars or a < 0:
+                    raise ValueError(f"Edge ({a},{b}) out of bounds (nvars={self.nvars})")
+                self._edge_index.setdefault((min(a, b), max(a, b)), len(self._edge_index))
+        else:
+            own = self.edges
+        g_seed = int(seed) if seed is not None else self.rng.next_seed()
+        self.graphs.append(
+            dict(
+                transverse=transverse,
+                longitudinal=float(longitudinal),
+                beta=float(beta),
+                edges=own,
+                rvb=bool(enable_rvb_update),
+                heatbath=bool(enable_heatbath_update),
+                seed=g_seed,
+            )
+        )
+        self._mat = None  # force re-materialization
+
+    def get_num_graphs(self) -> int:
+        """tempering.rs:115-117."""
+        return len(self.graphs)
+
+    def get_total_swaps(self) -> int:
+        """tempering.rs:297-299 — cumulative accepted swap count."""
+        return int(self.total_swaps)
+
+    # --------------------------------------------------------- materialization
+
+    def _union_jvals(self) -> np.ndarray:
+        R = len(self.graphs)
+        E = len(self._edge_index)
+        jv = np.zeros((R, E))
+        for r, g in enumerate(self.graphs):
+            for (a, b), j in g["edges"]:
+                jv[r, self._edge_index[(min(a, b), max(a, b))]] = j
+        return jv
+
+    def _materialize(self, keep_states: bool = True):
+        if self._mat is not None:
+            return self._mat
+        if not self.graphs:
+            raise ValueError("No graphs added to tempering container")
+        R = len(self.graphs)
+        pairs = sorted(self._edge_index.items(), key=lambda kv: kv[1])
+        ea = np.array([a for (a, _), _ in pairs], np.int32)
+        eb = np.array([b for (_, b), _ in pairs], np.int32)
+        jv = self._union_jvals()
+        cg = compile_graph_arrays(self.nvars, ea, eb, np.ones(len(ea)))
+        ga = batched_graph_arrays(cg, jv)
+        betas = np.array([g["beta"] for g in self.graphs])
+        gammas = np.array([g["transverse"] for g in self.graphs])
+        hs = np.array([g["longitudinal"] for g in self.graphs])
+        L = max(wl.choose_ltau(b, g) for b, g in zip(betas, gammas))
+        p = wl.make_params(betas, gammas, hs, L)
+        keys = keys_from_seeds(np.array([g["seed"] for g in self.graphs], np.uint64))
+        restored = getattr(self, "_restored", None)
+        if restored is not None:
+            s = restored["states"]
+            if s.shape[2] != L:  # regrid (nearest-slice) if the ladder changed
+                idx = (np.arange(L) * s.shape[2] // L).astype(np.int32)
+                s = jnp.take(s, jnp.asarray(idx), axis=2)
+            self._restored = None
+        else:
+            s0 = ce.random_states(keys, self.nvars)
+            s = jnp.broadcast_to(s0[:, :, None], (R, self.nvars, L))
+        if self._swapkey is None:
+            self._swapkey = keys_from_seeds(self.rng.make_seeds(1))[0]
+        self._mat = dict(
+            cg=cg,
+            ga=ga,
+            p=p,
+            s=s,
+            keys=keys,
+            L=L,
+            hb_mask=jnp.asarray(np.array([g["heatbath"] for g in self.graphs])),
+            rvb_mask=jnp.asarray(np.array([g["rvb"] for g in self.graphs])),
+            any_rvb=any(g["rvb"] for g in self.graphs),
+            phase=jnp.int32(0),
+        )
+        return self._mat
+
+    # ------------------------------------------------------------------- runs
+
+    def _run(self, timesteps: int, swap_freq: Optional[int]):
+        m = self._materialize()
+        sf = int(swap_freq) if swap_freq else max(int(timesteps), 1) + 1  # never
+        s, keys, swapkey, esum, states, phase, nswaps = run_tempering(
+            m["ga"],
+            m["p"],
+            m["s"],
+            m["keys"],
+            self._swapkey,
+            m["hb_mask"],
+            m["rvb_mask"],
+            int(timesteps),
+            sf,
+            m["any_rvb"],
+            m["phase"],
+            jnp.int32(0),
+        )
+        m["s"], m["keys"], m["phase"] = s, keys, phase
+        self._swapkey = swapkey
+        self.total_swaps += int(nswaps)
+        return esum, states
+
+    def qmc_timesteps(self, t: int) -> None:
+        """tempering.rs:150-152 — parallel sweeps, no swaps."""
+        self._run(int(t), None)
+
+    def qmc_timesteps_sample(
+        self,
+        timesteps: int,
+        replica_swap_freq: Optional[int] = None,
+        sampling_freq: Optional[int] = None,
+    ):
+        """tempering.rs:156-222 -> (states[ngraphs, t/sfreq, nvars],
+        avg_energies[ngraphs]). Sweeps, neighbor swaps every
+        ``replica_swap_freq``, slice-0 samples every ``sampling_freq``."""
+        swap_freq = int(replica_swap_freq) if replica_swap_freq else 1
+        sfreq = int(sampling_freq) if sampling_freq else 1
+        esum, states = self._run(int(timesteps), swap_freq)
+        states = np.asarray(states[sfreq - 1 :: sfreq] == 1)  # [t/sfreq, R, nvars]
+        return np.swapaxes(states, 0, 1), np.asarray(esum, np.float64) / max(int(timesteps), 1)
+
+    def get_graph_itime(self, g: int) -> np.ndarray:
+        """tempering.rs:119-147 -> bool[L, nvars]."""
+        g = int(g)
+        if g < 0 or g >= len(self.graphs):
+            raise ValueError(f"Graph index {g} out of bounds")
+        m = self._materialize()
+        return np.asarray(m["s"][g].T == 1)
+
+    # ---------------------------------------------------------- correlations
+
+    def _autocorr(self, timesteps, sampling_wait_buffer, replica_swap_freq, series_fn):
+        from .engines.observables import autocorrelation
+
+        wait = int(sampling_wait_buffer or 0)
+        swap_freq = int(replica_swap_freq) if replica_swap_freq else 1
+        if wait:
+            self._run(wait, swap_freq)
+        _, states = self._run(int(timesteps), swap_freq)
+        x = np.where(np.asarray(states), 1.0, -1.0)  # [t, R, nvars]
+        x = np.swapaxes(x, 0, 1)  # [R, t, nvars]
+        return autocorrelation(series_fn(x))
+
+    def run_quantum_monte_carlo_and_measure_variable_autocorrelation(
+        self,
+        timesteps: int,
+        sampling_wait_buffer: Optional[int] = None,
+        replica_swap_freq: Optional[int] = None,
+        sampling_freq: Optional[int] = None,
+    ):
+        """tempering.rs:233-258 -> corrs[ngraphs, timesteps], with tempering
+        swaps interleaved (container-delegated in the reference)."""
+        return self._autocorr(timesteps, sampling_wait_buffer, replica_swap_freq, lambda x: x)
+
+    def run_quantum_monte_carlo_and_measure_bond_autocorrelation(
+        self,
+        timesteps: int,
+        sampling_wait_buffer: Optional[int] = None,
+        replica_swap_freq: Optional[int] = None,
+        sampling_freq: Optional[int] = None,
+    ):
+        """tempering.rs:269-294 -> corrs[ngraphs, timesteps]."""
+        m = self._materialize()
+        ea, eb = np.asarray(m["cg"].edge_a), np.asarray(m["cg"].edge_b)
+        return self._autocorr(
+            timesteps,
+            sampling_wait_buffer,
+            replica_swap_freq,
+            lambda x: x[:, :, ea] * x[:, :, eb],
+        )
+
+    # ----------------------------------------------------------- persistence
+
+    def clone(self) -> "LatticeTempering":
+        """tempering.rs:302-304."""
+        other = LatticeTempering.__new__(LatticeTempering)
+        other.__dict__.update(self.__dict__)
+        other.rng = self.rng.clone()
+        other.graphs = [dict(g) for g in self.graphs]
+        other._edge_index = dict(self._edge_index)
+        if self._mat is not None:
+            other._mat = dict(self._mat)
+        return other
+
+    def save_to_file(self, path: str) -> None:
+        """tempering.rs:307-321 — CBOR FileType (nvars, edges, cutoff, seed,
+        use_allocator, container) (tempering.rs:20-27). RNG is NOT saved."""
+        container = []
+        states = None
+        if self._mat is not None:
+            states = np.asarray(self._mat["s"])
+        for r, g in enumerate(self.graphs):
+            container.append(
+                {
+                    "transverse": g["transverse"],
+                    "longitudinal": g["longitudinal"],
+                    "beta": g["beta"],
+                    "edges": [[list(ab), j] for ab, j in g["edges"]],
+                    "rvb": g["rvb"],
+                    "heatbath": g["heatbath"],
+                    "worldline": None if states is None else (states[r] == 1),
+                }
+            )
+        cbor.dump(
+            [
+                self.nvars,
+                [[list(ab), j] for ab, j in self.edges],
+                self.cutoff,
+                None if self.seed is None else int(self.seed),
+                self.use_allocator,
+                {"graphs": container, "total_swaps": int(self.total_swaps)},
+            ],
+            path,
+        )
+
+    @staticmethod
+    def read_from_file(path: str, reseed: Optional[int] = None) -> "LatticeTempering":
+        """tempering.rs:325-347 — reload; per-graph RNGs regenerated from
+        ``reseed`` / entropy (tempering.rs:332-333 semantics)."""
+        nvars, edges, cutoff, seed, use_alloc, container = cbor.load(path)
+        edges = [((int(a), int(b)), float(j)) for (a, b), j in edges]
+        out = LatticeTempering(edges, seed=reseed, use_allocator=use_alloc)
+        states = []
+        have_states = True
+        for g in container["graphs"]:
+            out.add_graph(
+                g["transverse"],
+                g["longitudinal"],
+                g["beta"],
+                edges=[((int(a), int(b)), float(j)) for (a, b), j in g["edges"]],
+                enable_rvb_update=g["rvb"],
+                enable_heatbath_update=g["heatbath"],
+            )
+            if g["worldline"] is None:
+                have_states = False
+            else:
+                states.append(np.where(g["worldline"], 1, -1).astype(np.int8))
+        out.total_swaps = int(container["total_swaps"])
+        if have_states and states:
+            out._restored = {"states": jnp.asarray(np.stack(states))}
+        return out

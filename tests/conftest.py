@@ -7,6 +7,8 @@ tests at all; this is our stand-in for pod hardware)."""
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# this jax build's axon plugin ignores JAX_PLATFORMS; PLATFORM_NAME works
+os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
@@ -15,3 +17,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_pmc")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+# The axon TPU plugin initializes its (tunnel-backed) backend even for
+# CPU-selected runs when only the env vars are set; the config route
+# restricts backend initialization to cpu, keeping tests hermetic.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

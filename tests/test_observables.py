@@ -1,0 +1,43 @@
+"""Autocorrelation measurement unit tests."""
+
+import numpy as np
+
+from pyisingmontecarlo_tpu.engines.observables import autocorrelation
+
+
+def test_constant_series_is_one():
+    x = np.ones((2, 10, 3))
+    rho = autocorrelation(x)
+    np.testing.assert_allclose(rho, 1.0)
+
+
+def test_iid_series_decorrelates():
+    rng = np.random.default_rng(0)
+    x = rng.choice([-1.0, 1.0], size=(4, 4096, 8))
+    rho = autocorrelation(x)
+    np.testing.assert_allclose(rho[:, 0], 1.0, atol=1e-12)
+    assert np.abs(rho[:, 1:100]).mean() < 0.05
+
+
+def test_ar1_series_decays_geometrically():
+    rng = np.random.default_rng(1)
+    phi = 0.8
+    T = 8192
+    x = np.zeros((1, T, 1))
+    for t in range(1, T):
+        x[0, t, 0] = phi * x[0, t - 1, 0] + rng.normal()
+    rho = autocorrelation(x)
+    for lag in (1, 2, 4, 8):
+        assert abs(rho[0, lag] - phi**lag) < 0.08, (lag, rho[0, lag])
+
+
+def test_alternating_series():
+    x = np.tile(np.array([1.0, -1.0]), 8)[None, :, None]
+    rho = autocorrelation(x)
+    np.testing.assert_allclose(rho[0, 0], 1.0)
+    assert rho[0, 1] < -0.8
+
+
+def test_empty_and_shapes():
+    assert autocorrelation(np.zeros((3, 0, 2))).shape == (3, 0)
+    assert autocorrelation(np.zeros((2, 5, 1))).shape == (2, 5)

@@ -1,0 +1,94 @@
+"""Multi-chip path tests on the 8-device virtual CPU mesh (SURVEY.md section 4:
+the stand-in for the reference's nonexistent distributed tests)."""
+
+import jax
+import numpy as np
+import pytest
+
+from pyisingmontecarlo_tpu.parallel import mesh as pmesh
+
+
+def need_devices(n):
+    if len(jax.devices()) < n:
+        pytest.skip(f"needs {n} devices")
+
+
+def test_make_mesh():
+    need_devices(8)
+    m = pmesh.make_mesh((8,), ("replica",))
+    assert m.shape["replica"] == 8
+    m2 = pmesh.make_mesh((2, 4), ("replica", "space"))
+    assert m2.shape == {"replica": 2, "space": 4}
+    with pytest.raises(ValueError):
+        pmesh.make_mesh((64,), ("replica",))
+
+
+def test_sharded_tempering_ladder_runs():
+    need_devices(4)
+    from pyisingmontecarlo_tpu.parallel import tempering as pt
+
+    m = pmesh.make_mesh((4,), ("replica",))
+    out = pt.dryrun_ladder(m, replicas_per_device=2, nvars=6, ltau=8, timesteps=3)
+    assert out.shape == (8,)
+    assert np.isfinite(out).all()
+
+
+def test_sharded_ladder_swaps_counted():
+    need_devices(4)
+    from pyisingmontecarlo_tpu import LatticeTempering
+    from pyisingmontecarlo_tpu.parallel.tempering import shard_ladder
+
+    edges = [((i, (i + 1) % 4), -1.0) for i in range(4)]
+    lt = LatticeTempering(edges, seed=0)
+    for b in np.linspace(1.0, 1.1, 8):
+        lt.add_graph(1.0, 0.0, float(b))
+    m = pmesh.make_mesh((4,), ("replica",))
+    shard_ladder(lt, m)
+    lt.qmc_timesteps_sample(20, replica_swap_freq=1)
+    assert lt.get_total_swaps() > 5  # tight ladder: swaps frequent
+
+
+def test_shard_ladder_divisibility():
+    need_devices(4)
+    from pyisingmontecarlo_tpu import LatticeTempering
+    from pyisingmontecarlo_tpu.parallel.tempering import shard_ladder
+
+    lt = LatticeTempering([((0, 1), -1.0)], seed=0)
+    for b in (1.0, 1.5, 2.0):
+        lt.add_graph(1.0, 0.0, b)
+    m = pmesh.make_mesh((4,), ("replica",))
+    with pytest.raises(ValueError):
+        shard_ladder(lt, m)  # 3 replicas not divisible by 4
+
+
+def test_spatial_halo_sweep_matches_physics():
+    need_devices(4)
+    from pyisingmontecarlo_tpu.parallel import spatial as psp
+
+    m = pmesh.make_mesh((4,), ("space",))
+    # deep quench: strongly coupled FM at high beta should mostly order
+    L = 16
+    import jax.numpy as jnp
+
+    s = jnp.ones((4, L, L), jnp.int8)
+    key = jax.random.key(1)
+    out = psp.sharded_sweeps_2d(m, s, key, beta=5.0, j=-1.0, h=0.0, sweeps=10)
+    out = np.asarray(out)
+    # aligned start at high beta stays aligned (acceptance of flips ~ e^-40)
+    assert (out == 1).mean() > 0.99
+
+
+def test_spatial_dryrun_2d_mesh():
+    need_devices(8)
+    from pyisingmontecarlo_tpu.parallel import spatial as psp
+
+    m = pmesh.make_mesh((2, 4), ("replica", "space"))
+    out = psp.dryrun_spatial(m, L=16, replicas=4, sweeps=2)
+    assert out.shape == (4, 16, 16)
+
+
+def test_graft_entry_dryrun():
+    need_devices(8)
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)

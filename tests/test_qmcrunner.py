@@ -1,0 +1,152 @@
+"""QmcRunner generic k-local interaction tests (qmcrunner.rs parity).
+
+Bit convention for interaction matrices: index = sum_m bit_m << m with
+bit_m = 1 when the m-th listed variable is up (+1)."""
+
+import numpy as np
+import pytest
+
+from helpers import dense_tfim_energy
+from pyisingmontecarlo_tpu import QmcRunner
+
+
+def zz_diag(j):
+    # diagonal entries of J z0 z1 by index (bit0=var0 up, bit1=var1 up)
+    out = np.empty(4)
+    for idx in range(4):
+        z0 = 1.0 if idx & 1 else -1.0
+        z1 = 1.0 if idx & 2 else -1.0
+        out[idx] = j * z0 * z1
+    return out
+
+
+def x_term(gamma):
+    # stoquastic transverse term -gamma sigma^x as flattened 2x2
+    return np.array([0.0, -gamma, -gamma, 0.0])
+
+
+def build_tfim_runner(edges, gamma, nvars, n, seed, **kw):
+    q = QmcRunner(nvars, n, seed=seed, **kw)
+    for (a, b), j in edges:
+        q.add_diagonal_interaction(zz_diag(j), [a, b])
+    for i in range(nvars):
+        q.add_interaction(x_term(gamma), [i])
+    return q
+
+
+def test_tfim_pair_matches_dense():
+    # H = J z0 z1 - G(x0 + x1): same spectrum as helpers.dense_tfim_energy
+    edges = [((0, 1), -1.0)]
+    beta, gamma = 1.5, 0.8
+    q = build_tfim_runner(edges, gamma, 2, 96, seed=0)
+    es, ss = q.run_sampling(beta, 800, sampling_wait_buffer=800)
+    ex = dense_tfim_energy(edges, 0.0, gamma, beta, 2)
+    se = es.std(ddof=1) / np.sqrt(len(es))
+    assert abs(es.mean() - ex) < 4 * se + 0.05, (es.mean(), ex, se)
+    assert ss.shape == (96, 800, 2)
+
+
+def test_tfim_chain_matches_dense():
+    edges = [((0, 1), -1.0), ((1, 2), -1.0)]
+    beta, gamma = 1.0, 1.0
+    q = build_tfim_runner(edges, gamma, 3, 96, seed=1)
+    es, _ = q.run_sampling(beta, 800, sampling_wait_buffer=800)
+    ex = dense_tfim_energy(edges, 0.0, gamma, beta, 3)
+    se = es.std(ddof=1) / np.sqrt(len(es))
+    assert abs(es.mean() - ex) < 4 * se + 0.05, (es.mean(), ex, se)
+
+
+def test_diagonal_only_classical_limit():
+    # purely diagonal H: worldlines are classical; line flips give Metropolis
+    # dynamics; <E> must match the classical Boltzmann average
+    import itertools
+
+    beta = 0.9
+    j01, j12, h2 = 1.0, -0.7, 0.5
+    q = QmcRunner(3, 128, seed=2)
+    q.add_diagonal_interaction(zz_diag(j01), [0, 1])
+    q.add_diagonal_interaction(zz_diag(j12), [1, 2])
+    q.add_diagonal_interaction(np.array([-h2, h2]), [2])  # h2 * z2
+    es, _ = q.run_sampling(beta, 200, sampling_wait_buffer=100)
+    # exact classical average
+    Z = E = 0.0
+    for s in itertools.product([-1, 1], repeat=3):
+        e = j01 * s[0] * s[1] + j12 * s[1] * s[2] + h2 * s[2]
+        w = np.exp(-beta * e)
+        Z += w
+        E += w * e
+    ex = E / Z
+    se = es.std(ddof=1) / np.sqrt(len(es))
+    assert abs(es.mean() - ex) < 4 * se + 0.05, (es.mean(), ex, se)
+
+
+def test_offset_tracking():
+    q = QmcRunner(2, 1, seed=3)
+    q.add_diagonal_interaction_and_offset(np.array([2.0, -1.0]), [0])
+    # shifted by max diag = 2.0
+    assert q.get_offset() == pytest.approx(2.0)
+    q.add_interaction_and_offset(np.array([1.0, -0.5, -0.5, 0.25]), [1])
+    assert q.get_offset() == pytest.approx(3.0)
+
+
+def test_validation_errors():
+    q = QmcRunner(3, 1, seed=4)
+    with pytest.raises(ValueError):
+        q.add_interaction(np.ones(3), [0])  # wrong size
+    with pytest.raises(ValueError):
+        q.add_interaction(np.zeros(4), [5])  # OOB var
+    with pytest.raises(ValueError):
+        q.add_interaction(np.zeros(16), [0, 0])  # repeated var
+    with pytest.raises(ValueError):
+        # non-stoquastic 2-local (positive off-diagonal) -> sign problem
+        q.add_interaction(np.array([0, 0, 0, 1, 0, 0, 1, 0, 0, 1, 0, 0, 1, 0, 0, 0.0]), [0, 1])
+    with pytest.raises(ValueError):
+        QmcRunner(0, 1)
+    q.add_diagonal_interaction(zz_diag(1.0), [0, 1])
+    q.run_sampling(1.0, 2)
+    with pytest.raises(ValueError):
+        q.add_interaction(x_term(1.0), [2])  # immutable after running
+
+
+def test_free_variables_are_uniform():
+    # var 2 appears in no interaction: it must sample uniformly
+    q = QmcRunner(3, 64, seed=5)
+    q.add_diagonal_interaction(zz_diag(-1.0), [0, 1])
+    es, ss = q.run_sampling(2.0, 60)
+    m2 = np.where(ss[:, :, 2], 1.0, -1.0).mean()
+    assert abs(m2) < 0.12
+
+
+def test_bond_sampling_and_shapes():
+    q = build_tfim_runner([((0, 1), -1.0)], 0.7, 2, 8, seed=6)
+    counts = q.run_bond_sampling(1.5, 12, sampling_freq=3)
+    assert counts.shape == (8, 4, 3)  # 3 interactions: 1 ZZ + 2 X
+    assert (counts >= 0).all()
+
+
+def test_autocorrelation_shapes():
+    q = build_tfim_runner([((0, 1), -1.0)], 1.0, 2, 4, seed=7)
+    c = q.run_quantum_monte_carlo_and_measure_variable_autocorrelation(1.0, 25)
+    assert c.shape == (4, 25)
+    np.testing.assert_allclose(c[:, 0], 1.0, atol=1e-9)
+    c2 = q.run_quantum_monte_carlo_and_measure_spin_product_autocorrelation(1.0, 20, [[0, 1]])
+    assert c2.shape == (4, 20)
+    with pytest.raises(ValueError):
+        q.run_quantum_monte_carlo_and_measure_spin_product_autocorrelation(1.0, 5, [[7]])
+    c3 = q.run_quantum_monte_carlo_and_measure_bond_autocorrelation(1.0, 15)
+    assert c3.shape == (4, 15)
+
+
+def test_itime_and_clone_and_add_qmc():
+    q = build_tfim_runner([((0, 1), -1.0)], 1.0, 2, 3, seed=8)
+    q.run_sampling(1.0, 5)
+    assert q.num_graphs == 3
+    q.add_qmc()
+    assert q.num_graphs == 4
+    it = q.get_graph_itime(3)
+    assert it.ndim == 2 and it.shape[1] == 2
+    with pytest.raises(ValueError):
+        q.get_graph_itime(9)
+    q2 = q.clone()
+    q2.add_qmc()
+    assert q.num_graphs == 4 and q2.num_graphs == 5
