@@ -1,0 +1,45 @@
+"""TFIM worldline QMC throughput benchmark (BASELINE.json config:
+"run_quantum_monte_carlo_sampling: TFIM chain ... Trotter layers").
+
+Prints one JSON line: worldline site-updates/sec for a 256-site TFIM chain at
+beta=2, Gamma=1, 64 replicas, through the public Lattice API."""
+
+import json
+import time
+
+import numpy as np
+
+from pyisingmontecarlo_tpu import Lattice
+from pyisingmontecarlo_tpu.engines.worldline import choose_ltau
+
+
+def main():
+    n = 256
+    beta, gamma = 2.0, 1.0
+    edges = [((i, (i + 1) % n), -1.0) for i in range(n)]
+    lat = Lattice(edges, seed_gen=0)
+    lat.set_transverse_field(gamma)
+    replicas = 64
+    ltau = choose_ltau(beta, gamma)
+
+    lat.run_quantum_monte_carlo(beta, 5, replicas)  # compile + warm
+    sweeps = 100
+    t0 = time.perf_counter()
+    lat.run_quantum_monte_carlo(beta, sweeps, replicas)
+    dt = time.perf_counter() - t0
+    updates = replicas * n * ltau * sweeps
+    print(
+        json.dumps(
+            {
+                "metric": "tfim_worldline_site_updates_per_sec_256chain",
+                "value": round(updates / dt, 1),
+                "unit": "site-updates/s",
+                "ltau": ltau,
+                "sweeps_per_sec": round(sweeps / dt, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

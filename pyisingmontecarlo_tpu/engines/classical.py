@@ -135,7 +135,12 @@ def _spin_color_update(ga, bias, s, subkeys, beta, c: int, heatbath: bool):
     si = jnp.take(s, sites, axis=1)
     dE = -2.0 * si.astype(_F) * (B + bias[sites][None])
     u = _uniform_per_replica(subkeys, (sites.shape[0],))
-    acc = _accept(u, dE, beta, heatbath)
+    # Glauber acceptance for ALL parallel colored updates: simultaneous
+    # Metropolis factors satisfy detailed balance but lose irreducibility
+    # (downhill flips fire with probability exactly 1, making e.g. the mixed
+    # states of a 2-spin ferromagnet unreachable at full-sweep boundaries).
+    # The sequential worm move keeps Metropolis acceptance.
+    acc = _accept(u, dE, beta, True)
     return s.at[:, sites].set(jnp.where(acc, -si, si))
 
 
@@ -155,7 +160,7 @@ def _edge_color_update(ga, bias, s, subkeys, beta, c: int, heatbath: bool):
         + 4.0 * j[None] * sa * sb
     )
     u = _uniform_per_replica(subkeys, (a.shape[0],))
-    acc = _accept(u, dE, beta, heatbath)
+    acc = _accept(u, dE, beta, True)  # Glauber (see _spin_color_update)
     sia = jnp.take(s, a, axis=1)
     sib = jnp.take(s, b, axis=1)
     s = s.at[:, a].set(jnp.where(acc, -sia, sia))

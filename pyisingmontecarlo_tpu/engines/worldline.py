@@ -232,7 +232,7 @@ def _edge_worldline_update(ga, p: WlParams, s, subkeys, c: int, heatbath: bool):
         dt * (-2.0 * sa * (Ba + h) - 2.0 * sb * (Bb + h) + 4.0 * _b3(j) * sa * sb)
     ).sum(-1)  # [R, Ec]
     u = _uniform_per_replica(subkeys, (a.shape[0],))
-    acc = _accept(u, dE, 1.0, heatbath)
+    acc = _accept(u, dE, 1.0, True)  # Glauber: parallel colored family
     sia = jnp.take(s, a, axis=1)
     sib = jnp.take(s, b, axis=1)
     s = s.at[:, a].set(jnp.where(acc[..., None], -sia, sia))

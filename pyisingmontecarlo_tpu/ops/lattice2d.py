@@ -62,7 +62,8 @@ def _color_update_2d(s, u, beta, j, h, parity_mask):
         + jnp.roll(s, -1, axis=2)
     ).astype(_F)
     dE = -2.0 * s.astype(_F) * (j * B + h)
-    acc = (jnp.log(u) < -beta * dE) & parity_mask[None]
+    # Glauber acceptance (parallel checkerboard; see engines/classical.py)
+    acc = (u < jax.nn.sigmoid(-beta * dE)) & parity_mask[None]
     return jnp.where(acc, -s, s)
 
 

@@ -14,11 +14,11 @@ star: >= 50 attempted flips/ns/chip at 1024^2):
 - both color planes live in **VMEM for the entire call** — HBM is touched
   once on entry and once on exit, however many sweeps run;
 - randomness is the TPU **hardware PRNG** (``pltpu.prng_random_bits``);
-- acceptance needs no per-site exp: with uniform J and global bias h, the
-  local field B takes 5 even values, so ``min(1, e^{-beta dE})`` is one of 10
-  numbers per sweep, computed as scalars from the per-sweep beta (annealing
-  schedules supported) and applied via a short select chain against 31-bit
-  random integers;
+- acceptance needs no per-site exp/sigmoid: with uniform J and global bias
+  h, the local field B takes 5 even values, so the Glauber probability
+  ``1/(1+e^{beta dE})`` is one of 10 numbers per sweep, computed as scalars
+  from the per-sweep beta (annealing schedules supported) and applied via a
+  short select chain against 31-bit random integers;
 - phases run in row strips (vertical halo = one row above/below, fetched as
   aligned 8-row blocks) to bound VMEM temporaries.
 
@@ -95,10 +95,12 @@ def _kernel(
     rowp = jax.lax.broadcasted_iota(jnp.int32, (S, W), 0) % 2  # S even: same per strip
 
     def thresholds(beta):
-        # 10 scalar thresholds: floor(min(1, e^{-beta dE}) * (2^31-1));
-        # 31-bit compare (Mosaic lacks f32->u32 casts), resolution 2^-31
+        # 10 scalar Glauber thresholds: floor(1/(1+e^{beta dE}) * (2^31-1));
+        # 31-bit compare (Mosaic lacks f32->u32 casts), resolution 2^-31.
+        # Glauber, not Metropolis: parallel checkerboard Metropolis loses
+        # irreducibility (see engines/classical.py).
         return [
-            (jnp.minimum(jnp.exp(-beta * dE_ref[k]), 1.0) * 2147483647.0).astype(jnp.int32)
+            (jax.nn.sigmoid(-beta * dE_ref[k]) * 2147483647.0).astype(jnp.int32)
             for k in range(10)
         ]
 

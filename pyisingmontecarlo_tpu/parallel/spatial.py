@@ -57,7 +57,8 @@ def _phase_update(s_local, u, beta, j, h, parity, y0, axis_name):
     x = lax.broadcasted_iota(jnp.int32, (Lx, Lyl), 0)
     y = lax.broadcasted_iota(jnp.int32, (Lx, Lyl), 1) + y0
     mask = ((x + y) % 2) == parity
-    acc = (jnp.log(u) < -beta * dE) & mask[None]
+    # Glauber acceptance (parallel checkerboard; see engines/classical.py)
+    acc = (u < jax.nn.sigmoid(-beta * dE)) & mask[None]
     return jnp.where(acc, -s_local, s_local)
 
 
