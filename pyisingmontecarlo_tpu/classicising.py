@@ -21,7 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .engines import classical as ce
-from .graph import compile_graph
+from .graph import compile_graph, detect_square_torus
+from .ops import lattice2d as l2d
 from .rng import MasterRng, keys_from_seeds
 
 __all__ = ["ClassicIsing"]
@@ -52,7 +53,8 @@ class ClassicIsing:
         self.longitudinal = float(longitudinal)
         self.rng = MasterRng(seed)
         self.use_basic_moves = bool(use_basic_moves)
-        self._ga = ce.device_graph(self.cg)
+        self._ga = None  # built lazily (torus runs may never need colorings)
+        self._torus = detect_square_torus(self.cg)
         self._bias = jnp.full(self.nvars, self.longitudinal, jnp.float32)
         self._spins = None  # [R, nvars] int8 device array
         self._keys = None  # [R] typed keys
@@ -94,9 +96,23 @@ class ClassicIsing:
         return np.asarray(self._spins == 1)
 
     def get_energies(self) -> np.ndarray:
-        return np.asarray(ce.energy(self._ga, self._bias, self._spins), np.float64)
+        return np.asarray(
+            ce.energy(self._graph_arrays(), self._bias, self._spins), np.float64
+        )
 
     # ------------------------------------------------------------------- runs
+
+    def _graph_arrays(self):
+        if self._ga is None:
+            self._ga = ce.device_graph(self.cg)
+        return self._ga
+
+    def _fast2d(self, margs) -> bool:
+        """Dispatch to the fused 2D torus path when the graph is a uniform-J
+        periodic square lattice and only spin sweeps are requested (edge/worm
+        families are redundant for ergodicity on an unfrustrated torus; they
+        run on the generic path when explicitly requested)."""
+        return self._torus is not None and margs["nedge_sweeps"] == 0 and margs["nworms"] == 0
 
     def _move_args(self, nspin, nedge, nworm, only_basic):
         only = self.use_basic_moves if only_basic is None else bool(only_basic)
@@ -127,9 +143,19 @@ class ClassicIsing:
     ) -> None:
         """classicising.rs:88-110 — mutate the ensemble in place, return None."""
         margs = self._move_args(nspinupdates, nedgeupdates, nwormupdates, only_basic_moves)
+        if self._fast2d(margs):
+            L, J = self._torus
+            R = self.num_graphs
+            nswp = int(timesteps) * margs["nspin_sweeps"]
+            beta_arr = jnp.full(nswp, float(beta), jnp.float32)
+            s2, self._keys = l2d.run_steps_2d(
+                self._spins.reshape(R, L, L), self._keys, beta_arr, J, self.longitudinal
+            )
+            self._spins = s2.reshape(R, self.nvars)
+            return
         beta_arr = jnp.full(int(timesteps), float(beta), jnp.float32)
         self._spins, self._keys = ce.run_steps(
-            self._ga, self._bias, self._spins, self._keys, beta_arr, **margs
+            self._graph_arrays(), self._bias, self._spins, self._keys, beta_arr, **margs
         )
 
     def run_monte_carlo_sampling(
@@ -147,13 +173,30 @@ class ClassicIsing:
         margs = self._move_args(nspinupdates, nedgeupdates, nwormupdates, only_basic_moves)
         therm = int(thermalization_time or 0)
         freq = int(sampling_freq) if sampling_freq else 1
+        if self._fast2d(margs):
+            L, J = self._torus
+            R = self.num_graphs
+            k = margs["nspin_sweeps"]
+            s2 = self._spins.reshape(R, L, L)
+            if therm:
+                beta_arr = jnp.full(therm * k, float(beta), jnp.float32)
+                s2, self._keys = l2d.run_steps_2d(s2, self._keys, beta_arr, J, self.longitudinal)
+            s2, self._keys, es, ss = l2d.run_sampling_2d(
+                s2, self._keys, float(beta), J, self.longitudinal,
+                int(timesteps) * k, freq * k,
+            )
+            self._spins = s2.reshape(R, self.nvars)
+            nsamp = ss.shape[1]
+            return np.asarray(es, np.float64), np.asarray(
+                ss.reshape(R, nsamp, self.nvars) == 1
+            )
         if therm:
             beta_arr = jnp.full(therm, float(beta), jnp.float32)
             self._spins, self._keys = ce.run_steps(
-                self._ga, self._bias, self._spins, self._keys, beta_arr, **margs
+                self._graph_arrays(), self._bias, self._spins, self._keys, beta_arr, **margs
             )
         self._spins, self._keys, es, ss = ce.run_sampling(
-            self._ga,
+            self._graph_arrays(),
             self._bias,
             self._spins,
             self._keys,

@@ -1,0 +1,48 @@
+"""ClassicIsing torus fast-path tests: dispatch correctness and physics parity
+with the generic path."""
+
+import numpy as np
+
+from pyisingmontecarlo_tpu import ClassicIsing
+from pyisingmontecarlo_tpu.graph import grid_2d_edges
+
+
+def test_fast_path_dispatch_and_physics():
+    ci = ClassicIsing(grid_2d_edges(8, 8, j=-1.0), num_experiments=16, seed=0,
+                      use_basic_moves=True)
+    assert ci._torus == (8, -1.0)
+    ci.run_monte_carlo(1.0, 300)
+    m = np.abs(np.where(ci.get_states(), 1.0, -1.0).mean(axis=1))
+    assert m.mean() > 0.9  # ordered at beta=1 on 8^2
+    es, ss = ci.run_monte_carlo_sampling(1.0, 20, sampling_freq=4)
+    assert es.shape == (16, 5)
+    assert ss.shape == (16, 5, 64)
+    np.testing.assert_allclose(es[:, -1], ci.get_energies())
+
+
+def test_fast_and_generic_paths_agree_statistically():
+    beta = 0.35
+    stats = []
+    for basic in (True, False):  # True -> torus kernel; False -> generic+worms
+        ci = ClassicIsing(grid_2d_edges(6, 6, j=-1.0), num_experiments=48, seed=3,
+                          use_basic_moves=basic)
+        es, _ = ci.run_monte_carlo_sampling(beta, 40, thermalization_time=400,
+                                            sampling_freq=8)
+        stats.append((es.mean(), es.mean(axis=1).std(ddof=1) / np.sqrt(48)))
+    (m1, s1), (m2, s2) = stats
+    assert abs(m1 - m2) < 5 * np.hypot(s1, s2) + 0.2, stats
+
+
+def test_longitudinal_field_on_torus():
+    ci = ClassicIsing(grid_2d_edges(8, 8, j=0.25), longitudinal=1.5,
+                      num_experiments=16, seed=1, use_basic_moves=True)
+    ci.run_monte_carlo(2.0, 200)
+    m = np.where(ci.get_states(), 1.0, -1.0).mean()
+    assert m < -0.8  # h>0 pushes spins down
+
+
+def test_explicit_move_counts_route_to_generic_path():
+    ci = ClassicIsing(grid_2d_edges(6, 6, j=-1.0), num_experiments=4, seed=2)
+    # worms requested: must use the generic engine (colorings get built)
+    ci.run_monte_carlo(0.8, 3, nwormupdates=2)
+    assert ci._ga is not None
