@@ -21,10 +21,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import tempering as tp
-from ..engines import classical as ce
 from ..engines import worldline as wl
-from ..graph import compile_graph
-from ..rng import keys_from_seeds
 
 __all__ = ["shard_ladder", "dryrun_ladder"]
 
