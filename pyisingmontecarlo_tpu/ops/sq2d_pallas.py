@@ -178,6 +178,94 @@ def _call(E, O, seeds, dE, beta_arr, nsweeps: int):
     )(seeds, dE, beta_arr, E, O)
 
 
+# ------------------------------------------------------------- testing path
+#
+# Interpret-mode emulation of the hardware PRNG returns zeros, so the fused
+# kernel cannot be validated on CPU as-is. This variant takes the 31-bit
+# random integers as an explicit input ([2*nsweeps, L, W], one plane per
+# phase) and is asserted bit-exact against a numpy reference of the same
+# algorithm in tests/test_pallas_interpret.py. Single-strip sizes only.
+
+
+def _kernel_testbits(dE_ref, beta_ref, rb_ref, e_in, o_in, e_out, o_out, *, nsweeps: int, blen: int):
+    L, W = e_in.shape[1], e_in.shape[2]
+    eS = e_in[0].astype(jnp.int32)
+    oS = o_in[0].astype(jnp.int32)
+    rowp = jax.lax.broadcasted_iota(jnp.int32, (L, W), 0) % 2
+
+    def thresholds(beta):
+        return [
+            (jax.nn.sigmoid(-beta * dE_ref[k]) * 2147483647.0).astype(jnp.int32)
+            for k in range(10)
+        ]
+
+    def select_thr(ts, s, B):
+        def chain(base):
+            t = jnp.full((L, W), ts[base + 4], jnp.int32)
+            for k, bv in enumerate((-4, -2, 0, 2)):
+                t = jnp.where(B == bv, ts[base + k], t)
+            return t
+
+        return jnp.where(s > 0, chain(5), chain(0))
+
+    def phase(upd, oth, even_phase, ts, rb31):
+        up = pltpu.roll(oth, 1, 0)
+        dn = pltpu.roll(oth, L - 1, 0)
+        rollp = pltpu.roll(oth, 1, 1)
+        rollm = pltpu.roll(oth, W - 1, 1)
+        if even_phase:
+            horiz = jnp.where(rowp == 0, rollp, rollm)
+        else:
+            horiz = jnp.where(rowp == 0, rollm, rollp)
+        B = up + dn + oth + horiz
+        acc = rb31 <= select_thr(ts, upd, B)
+        return jnp.where(acc, -upd, upd)
+
+    def sweep(t, carry):
+        eS, oS = carry
+        beta = beta_ref[t % blen] if blen > 1 else beta_ref[0]
+        ts = thresholds(beta)
+        eS = phase(eS, oS, True, ts, rb_ref[2 * t])
+        oS = phase(oS, eS, False, ts, rb_ref[2 * t + 1])
+        return eS, oS
+
+    eS, oS = jax.lax.fori_loop(0, nsweeps, sweep, (eS, oS))
+    e_out[0] = eS.astype(jnp.int8)
+    o_out[0] = oS.astype(jnp.int8)
+
+
+def run_steps_2d_testbits(s, rb31, beta_arr, j: float, h: float):
+    """Deterministic variant for kernel validation: ``rb31[2*T, L, L/2]``
+    int32 in [0, 2^31) supplies the per-phase acceptance randoms (plane k
+    is used by sweep k//2, phase k%2, in packed-checkerboard layout)."""
+    bnp = np.asarray(beta_arr, np.float32)
+    nsweeps = int(bnp.shape[0])
+    E, O = pack_checkerboard(s)
+    R, L, W = E.shape
+    assert R == 1 and L % 2 == 0  # interpret-mode validation sizes
+    dE = jnp.asarray(_dE_values(j, h))
+    spec = pl.BlockSpec((1, L, W), lambda *_: (0, 0, 0), memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # rb planes, full array
+            spec,
+            spec,
+        ],
+        out_specs=(spec, spec),
+    )
+    E2, O2 = pl.pallas_call(
+        functools.partial(_kernel_testbits, nsweeps=nsweeps, blen=nsweeps),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, L, W), jnp.int8),
+            jax.ShapeDtypeStruct((1, L, W), jnp.int8),
+        ),
+        grid_spec=grid_spec,
+    )(dE, jnp.asarray(bnp), jnp.asarray(rb31, jnp.int32), E, O)
+    return unpack_checkerboard(E2, O2)
+
+
 @functools.partial(jax.jit, static_argnames=("nsweeps",))
 def _run_packed(s, seeds, dE, beta_arr, nsweeps: int):
     E, O = pack_checkerboard(s)
