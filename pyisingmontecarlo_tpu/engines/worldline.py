@@ -118,6 +118,101 @@ def _spatial_field(ga: GraphArrays, s, c: int):
     return (_b4(jrow) * sj).sum(2)
 
 
+# ------------------------------------------------------- dense (roll) fast path
+#
+# Uniform periodic rings and square tori — the TFIM benchmark shapes — get a
+# gather-free formulation: spatial fields are rolls over the full site axis and
+# color selection is an iota mask (2x redundant arithmetic on the masked-out
+# color, but no gathers, which dominate the generic path on TPU). A DenseSpec
+# is a hashable static ('ring'|'torus', size, J) triple so the jitted drivers
+# specialize per lattice.
+
+
+def detect_dense(cg: CompiledGraph):
+    """('ring', n, J) for a uniform even periodic chain, ('torus', L, J) for a
+    uniform even square torus, else None."""
+    from ..graph import detect_square_torus
+
+    tor = detect_square_torus(cg)
+    if tor is not None:
+        return ("torus", tor[0], tor[1])
+    n = cg.nvars
+    if n < 4 or n % 2 or cg.nedges != n:
+        return None
+    j0 = cg.edge_j[0]
+    if not np.all(cg.edge_j == j0):
+        return None
+    a = np.minimum(cg.edge_a, cg.edge_b).astype(np.int64)
+    b = np.maximum(cg.edge_a, cg.edge_b).astype(np.int64)
+    have = set(zip(a.tolist(), b.tolist()))
+    want = {(min(i, (i + 1) % n), max(i, (i + 1) % n)) for i in range(n)}
+    return ("ring", n, float(j0)) if have == want else None
+
+
+def _dense_field(dense, s):
+    """B[r, nvars, L] = sum of spatial-neighbor spins times J, for ALL sites."""
+    kind, size, j = dense
+    if kind == "ring":
+        B = jnp.roll(s, 1, axis=1) + jnp.roll(s, -1, axis=1)
+    else:  # torus: vertex id = x * L + y, reshape is layout-free
+        R, n, Lt = s.shape
+        s4 = s.reshape(R, size, size, Lt)
+        B = (
+            jnp.roll(s4, 1, axis=1)
+            + jnp.roll(s4, -1, axis=1)
+            + jnp.roll(s4, 1, axis=2)
+            + jnp.roll(s4, -1, axis=2)
+        ).reshape(R, n, Lt)
+    return j * B.astype(_F)
+
+
+def _dense_color_mask(dense, nvars: int):
+    """bool[nvars]: True where site color == 0 (checkerboard / even sites)."""
+    kind, size, _ = dense
+    idx = np.arange(nvars)
+    if kind == "ring":
+        return idx % 2 == 0
+    return (idx // size + idx % size) % 2 == 0
+
+
+def _site_update_dense(dense, p: WlParams, s, subkeys, color: int, parity: int):
+    """Glauber on all (site of given color, tau of given parity) points,
+    computed over the full arrays with iota masks (no gathers)."""
+    R, nvars, L = s.shape
+    B = _dense_field(dense, s)
+    up = jnp.roll(s, -1, axis=2).astype(_F)
+    dn = jnp.roll(s, 1, axis=2).astype(_F)
+    dt = p.dtau[:, None, None]
+    kt = p.ktau[:, None, None]
+    dE = -2.0 * s.astype(_F) * (dt * (B + p.h[:, None, None]) - kt * (up + dn))
+    u = _uniform_per_replica(subkeys, (nvars, L))
+    cmask = _dense_color_mask(dense, nvars) == (color == 0)
+    tpar = (np.arange(L) % 2) == parity
+    acc = _accept(u, dE, 1.0, True) & cmask[None, :, None] & tpar[None, None, :]
+    return jnp.where(acc, -s, s)
+
+
+def _time_cluster_update_dense(dense, p: WlParams, s, subkeys, color: int):
+    """FK time-ring clusters on all lines of one checkerboard color (masked;
+    see _time_cluster_update for the detailed-balance argument)."""
+    R, nvars, L = s.shape
+    u = _uniform_per_replica(subkeys, (nvars, L, 3))
+    aligned = s == jnp.roll(s, -1, axis=2)
+    p_bond = 1.0 - jnp.exp(-2.0 * p.ktau)[:, None, None]
+    active = aligned & (u[..., 0] < p_bond)
+    ids = _ring_cluster_ids(active)
+    B = _dense_field(dense, s)
+    dt = p.dtau[:, None, None]
+    dE_site = -2.0 * s.astype(_F) * dt * (B + p.h[:, None, None])
+    r_ix = jnp.broadcast_to(jnp.arange(R)[:, None, None], ids.shape)
+    v_ix = jnp.broadcast_to(jnp.arange(nvars)[None, :, None], ids.shape)
+    dE_clust = jnp.zeros((R, nvars, L), _F).at[r_ix, v_ix, ids].add(dE_site)
+    acc_clust = jnp.log(u[..., 1]) < -dE_clust
+    flip = jnp.take_along_axis(acc_clust, ids, axis=2)
+    cmask = _dense_color_mask(dense, nvars) == (color == 0)
+    return jnp.where(flip & cmask[None, :, None], -s, s)
+
+
 def _site_color_update(ga, p: WlParams, s, subkeys, c: int, parity: int, heatbath: bool):
     """Metropolis on all (site in color c, tau of given parity) points."""
     sites = ga.c_sites[c]
@@ -240,17 +335,30 @@ def _edge_worldline_update(ga, p: WlParams, s, subkeys, c: int, heatbath: bool):
     return s, acc.sum(-1), acc.shape[-1]
 
 
-def sweep(ga, p: WlParams, s, keys, heatbath: bool, do_cluster: bool, do_rvb: bool):
+def sweep(ga, p: WlParams, s, keys, heatbath: bool, do_cluster: bool, do_rvb: bool,
+          dense=None):
     """One full QMC time step: colored site sweeps (both time parities), then
-    FK time-cluster sweeps per color, then optional worldline pair flips."""
-    for c in range(len(ga.c_sites)):
-        for parity in (0, 1):
-            keys, sub = split_keys(keys)
-            s = _site_color_update(ga, p, s, sub, c, parity, heatbath)
-    if do_cluster:
+    FK time-cluster sweeps per color, then optional worldline pair flips.
+    ``dense`` (static DenseSpec or None) selects the gather-free roll path for
+    uniform rings/tori."""
+    if dense is not None:
+        for c in (0, 1):
+            for parity in (0, 1):
+                keys, sub = split_keys(keys)
+                s = _site_update_dense(dense, p, s, sub, c, parity)
+        if do_cluster:
+            for c in (0, 1):
+                keys, sub = split_keys(keys)
+                s = _time_cluster_update_dense(dense, p, s, sub, c)
+    else:
         for c in range(len(ga.c_sites)):
-            keys, sub = split_keys(keys)
-            s = _time_cluster_update(ga, p, s, sub, c)
+            for parity in (0, 1):
+                keys, sub = split_keys(keys)
+                s = _site_color_update(ga, p, s, sub, c, parity, heatbath)
+        if do_cluster:
+            for c in range(len(ga.c_sites)):
+                keys, sub = split_keys(keys)
+                s = _time_cluster_update(ga, p, s, sub, c)
     if do_rvb:
         for c in range(len(ga.e_a)):
             keys, sub = split_keys(keys)
@@ -316,13 +424,13 @@ def log_weight(ga, p: WlParams, s):
 # -------------------------------------------------------------- jitted drivers
 
 
-@partial(jax.jit, static_argnames=("timesteps", "heatbath", "do_cluster", "do_rvb"))
-def run_sweeps(ga, p, s, keys, timesteps, heatbath, do_cluster, do_rvb):
+@partial(jax.jit, static_argnames=("timesteps", "heatbath", "do_cluster", "do_rvb", "dense"))
+def run_sweeps(ga, p, s, keys, timesteps, heatbath, do_cluster, do_rvb, dense=None):
     """timesteps sweeps, accumulating the total-energy estimator -> e_sum [R]."""
 
     def body(carry, _):
         s, keys, esum = carry
-        s, keys = sweep(ga, p, s, keys, heatbath, do_cluster, do_rvb)
+        s, keys = sweep(ga, p, s, keys, heatbath, do_cluster, do_rvb, dense)
         return (s, keys, esum + total_energy(ga, p, s)), None
 
     (s, keys, esum), _ = lax.scan(
@@ -333,9 +441,9 @@ def run_sweeps(ga, p, s, keys, timesteps, heatbath, do_cluster, do_rvb):
 
 @partial(
     jax.jit,
-    static_argnames=("timesteps", "sampling_freq", "heatbath", "do_cluster", "do_rvb"),
+    static_argnames=("timesteps", "sampling_freq", "heatbath", "do_cluster", "do_rvb", "dense"),
 )
-def run_sweeps_sample(ga, p, s, keys, timesteps, sampling_freq, heatbath, do_cluster, do_rvb):
+def run_sweeps_sample(ga, p, s, keys, timesteps, sampling_freq, heatbath, do_cluster, do_rvb, dense=None):
     """Sample slice-0 states every sampling_freq sweeps.
 
     Returns (s, keys, e_sum[R], states[R, t//freq, nvars] int8)."""
@@ -344,7 +452,7 @@ def run_sweeps_sample(ga, p, s, keys, timesteps, sampling_freq, heatbath, do_clu
     def block(carry, _):
         s, keys, esum = carry
         for _ in range(sampling_freq):
-            s, keys = sweep(ga, p, s, keys, heatbath, do_cluster, do_rvb)
+            s, keys = sweep(ga, p, s, keys, heatbath, do_cluster, do_rvb, dense)
             esum = esum + total_energy(ga, p, s)
         return (s, keys, esum), s[:, :, 0]
 
@@ -353,23 +461,23 @@ def run_sweeps_sample(ga, p, s, keys, timesteps, sampling_freq, heatbath, do_clu
     )
     rem = timesteps - nsamples * sampling_freq
     for _ in range(rem):
-        s, keys = sweep(ga, p, s, keys, heatbath, do_cluster, do_rvb)
+        s, keys = sweep(ga, p, s, keys, heatbath, do_cluster, do_rvb, dense)
         esum = esum + total_energy(ga, p, s)
     return s, keys, esum, jnp.swapaxes(samples, 0, 1)
 
 
 @partial(
     jax.jit,
-    static_argnames=("timesteps", "sampling_freq", "heatbath", "do_cluster", "do_rvb"),
+    static_argnames=("timesteps", "sampling_freq", "heatbath", "do_cluster", "do_rvb", "dense"),
 )
-def run_sweeps_bond_sample(ga, p, s, keys, timesteps, sampling_freq, heatbath, do_cluster, do_rvb):
+def run_sweeps_bond_sample(ga, p, s, keys, timesteps, sampling_freq, heatbath, do_cluster, do_rvb, dense=None):
     """Sample per-bond op-count estimates every sampling_freq sweeps."""
     nsamples = timesteps // sampling_freq
 
     def block(carry, _):
         s, keys, esum = carry
         for _ in range(sampling_freq):
-            s, keys = sweep(ga, p, s, keys, heatbath, do_cluster, do_rvb)
+            s, keys = sweep(ga, p, s, keys, heatbath, do_cluster, do_rvb, dense)
             esum = esum + total_energy(ga, p, s)
         return (s, keys, esum), bond_op_counts(ga, p, s)
 
@@ -381,17 +489,17 @@ def run_sweeps_bond_sample(ga, p, s, keys, timesteps, sampling_freq, heatbath, d
 
 @partial(
     jax.jit,
-    static_argnames=("timesteps", "heatbath", "do_cluster", "do_rvb", "exponent"),
+    static_argnames=("timesteps", "heatbath", "do_cluster", "do_rvb", "exponent", "dense"),
 )
 def run_sweeps_measure(ga, p, s, keys, timesteps, sampling_freq_arr, down, up, exponent,
-                       heatbath, do_cluster, do_rvb):
+                       heatbath, do_cluster, do_rvb, dense=None):
     """Per-sweep magnetization-moment measurement (lattice.rs:857-934 analogue):
     every sweep computes (sum_i m(s_i0))^exponent at slice 0; samples where
     sweep_index % freq == 0 are averaged. Returns (s, keys, e_sum, meas_mean)."""
 
     def body(carry, t):
         s, keys, esum, msum, mcnt = carry
-        s, keys = sweep(ga, p, s, keys, heatbath, do_cluster, do_rvb)
+        s, keys = sweep(ga, p, s, keys, heatbath, do_cluster, do_rvb, dense)
         esum = esum + total_energy(ga, p, s)
         sf = s[:, :, 0].astype(_F)
         m = jnp.where(sf > 0, up, down).sum(-1) ** exponent
@@ -486,6 +594,14 @@ class WorldlineEnsemble:
         self.R = int(num_experiments)
         self.enable_rvb = bool(enable_rvb)
         self.enable_heatbath = bool(enable_heatbath)
+        # roll fast path for uniform rings/tori: wins on TPU where gathers
+        # are expensive; on CPU the masked redundant arithmetic loses, so the
+        # generic gather path stays default there
+        try:
+            on_accel = jax.default_backend() not in ("cpu", "gpu")
+        except Exception:
+            on_accel = False
+        self.dense = detect_dense(cg) if on_accel else None
         self.p = make_params(
             np.full(self.R, self.beta), self.gamma, self.h, self.L
         )
@@ -505,7 +621,8 @@ class WorldlineEnsemble:
 
     def _flags(self):
         return dict(
-            heatbath=self.enable_heatbath, do_cluster=True, do_rvb=self.enable_rvb
+            heatbath=self.enable_heatbath, do_cluster=True, do_rvb=self.enable_rvb,
+            dense=self.dense,
         )
 
     # ------------------------------------------------------------------ runs
