@@ -270,7 +270,14 @@ class CompiledGraph:
 
 def compile_graph(edges: Sequence) -> CompiledGraph:
     nvars, ea, eb, ej = parse_edges(edges)
-    return CompiledGraph(nvars, ea, eb, ej)
+    cg = CompiledGraph(nvars, ea, eb, ej)
+    import os
+
+    if os.environ.get("PMC_DEBUG_VALIDATE"):
+        # debug mode (SURVEY.md section 5 race-detection analogue): assert
+        # colored-update independence at compile time
+        cg.validate()
+    return cg
 
 
 def compile_graph_arrays(
