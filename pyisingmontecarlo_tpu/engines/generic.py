@@ -165,6 +165,12 @@ class Compiled(NamedTuple):
     color_sites: Tuple[np.ndarray, ...]
     G: int
     nterms: int
+    # segment-flip proposal tables: per color, kink-capable sub-slice offsets
+    # modulo G ([Cc, maxoffs] padded with 0) and their counts ([Cc]); a
+    # variable's worldline can only change across transfers whose group
+    # contains a term acting off-diagonally on it
+    kink_offs: Tuple[np.ndarray, ...]
+    kink_cnt: Tuple[np.ndarray, ...]
 
 
 def _color_conflicts(nvars: int, terms: List[dict]) -> np.ndarray:
@@ -214,10 +220,27 @@ def compile_terms(nvars: int, terms: List[dict], dtau: float) -> Compiled:
     )
     touched = np.zeros((nvars, G), bool)
     in_any = np.zeros(nvars, bool)
+    offdiag_groups = [set() for _ in range(nvars)]  # groups that can kink v
     for t, g in zip(terms, groups):
-        for v in t["vars"]:
+        m = t["mat"]
+        dim = m.shape[0]
+        for slot, v in enumerate(t["vars"]):
             touched[v, g] = True
             in_any[v] = True
+            bit = 1 << slot
+            # off-diagonal action on v: any matrix element between states
+            # differing in v's bit (expm can only couple what M couples
+            # through powers, which preserves "which bits can flip" per term)
+            if any(
+                abs(m[a, a ^ bit]) > 1e-12 or abs(m[a ^ bit, a]) > 1e-12
+                for a in range(dim)
+            ) or any(
+                abs(m[a, b]) > 1e-12
+                for a in range(dim)
+                for b in range(dim)
+                if (a ^ b) & bit and a != b
+            ):
+                offdiag_groups[v].add(int(g))
     by_k: Dict[int, List[int]] = {}
     for i, t in enumerate(terms):
         by_k.setdefault(len(t["vars"]), []).append(i)
@@ -260,6 +283,19 @@ def compile_terms(nvars: int, terms: List[dict], dtau: float) -> Compiled:
                 term_ids=np.asarray(ids),
             )
         )
+    kink_offs, kink_cnt = [], []
+    for sites in color_sites:
+        maxoffs = max([1] + [len(offdiag_groups[v]) for v in sites])
+        offs = np.zeros((len(sites), maxoffs), np.int32)
+        cnt = np.zeros(len(sites), np.int32)
+        for j, v in enumerate(sites):
+            # capable segment boundaries: sub-slice l with group(l-1) kinkable,
+            # i.e. l  ==  (g+1) mod G  (mod G, repeated every Trotter slice)
+            gs = sorted((g + 1) % G for g in offdiag_groups[v])
+            cnt[j] = len(gs)
+            offs[j, : len(gs)] = gs
+        kink_offs.append(offs)
+        kink_cnt.append(cnt)
     return Compiled(
         classes=tuple(classes),
         touched=touched,
@@ -267,6 +303,8 @@ def compile_terms(nvars: int, terms: List[dict], dtau: float) -> Compiled:
         color_sites=color_sites,
         G=G,
         nterms=len(terms),
+        kink_offs=tuple(kink_offs),
+        kink_cnt=tuple(kink_cnt),
     )
 
 
@@ -409,20 +447,38 @@ def slice_color_update(comp: Compiled, s, subkeys, c: int, ltau: int):
 
 
 def segment_color_update(comp: Compiled, s, subkeys):
-    """Random-segment flips: each (replica, color-c var) flips a uniformly
-    random contiguous sub-slice interval of its worldline. Creates/destroys
-    kink pairs at arbitrary separations (the SSE loop-update analogue) —
-    single-site flips alone change kink number only by slow local steps."""
+    """Segment flips: each (replica, color-c var) flips a contiguous
+    sub-slice interval whose two boundaries are drawn uniformly from that
+    variable's *kink-capable* positions (transfers whose group acts
+    off-diagonally on it) — any other boundary is delta/diagonal-rejected, so
+    uniform proposals would waste most attempts. Creates/destroys kink pairs
+    at arbitrary separations (the SSE loop-update analogue)."""
     R, _, Lt = s.shape
+    ltau = Lt // comp.G
     for c in range(len(comp.color_sites)):
         sites = comp.color_sites[c]
         Cc = sites.shape[0]
+        offs = comp.kink_offs[c]  # [Cc, maxoffs] np const
+        cnt = comp.kink_cnt[c]  # [Cc] np const
+        ncap = np.maximum(cnt, 1) * ltau  # capable positions per var
         subkeys, k1 = split_keys(subkeys)
         u = _uniform_per_replica(k1, (Cc, 3))
-        l1 = (u[..., 0] * Lt).astype(jnp.int32)  # [R, Cc]
-        ln = 1 + (u[..., 1] * (Lt - 1)).astype(jnp.int32)  # length 1..Lt-1
+
+        def draw(uu):
+            j = (uu * ncap[None, :]).astype(jnp.int32)  # [R, Cc]
+            within = j % np.maximum(cnt, 1)[None, :]
+            slab = j // np.maximum(cnt, 1)[None, :]
+            base = jnp.take_along_axis(
+                jnp.asarray(np.broadcast_to(offs[None], (1, Cc, offs.shape[1]))),
+                within[:, :, None], axis=2,
+            )[:, :, 0]
+            return base + comp.G * slab  # sub-slice position in [0, Lt)
+
+        l1 = draw(u[..., 0])
+        l2 = draw(u[..., 1])
+        ln = (l2 - l1) % Lt  # 0 => empty proposal (no-op)
         pos = jnp.arange(Lt)[None, None, :]
-        mask = ((pos - l1[..., None]) % Lt) < ln[..., None]  # [R, Cc, Lt]
+        mask = (((pos - l1[..., None]) % Lt) < ln[..., None]) & (cnt > 0)[None, :, None]
         si = jnp.take(s, sites, axis=1)
         s_new = s.at[:, sites].set(jnp.where(mask, -si, si))
         d = _flip_delta_per_site(comp, s, s_new, c).sum(-1)  # [R, Cc]
