@@ -39,18 +39,18 @@ def test_tfim_pair_matches_dense():
     edges = [((0, 1), -1.0)]
     beta, gamma = 1.5, 0.8
     q = build_tfim_runner(edges, gamma, 2, 96, seed=0)
-    es, ss = q.run_sampling(beta, 800, sampling_wait_buffer=800)
+    es, ss = q.run_sampling(beta, 400, sampling_wait_buffer=400)
     ex = dense_tfim_energy(edges, 0.0, gamma, beta, 2)
     se = es.std(ddof=1) / np.sqrt(len(es))
     assert abs(es.mean() - ex) < 4 * se + 0.05, (es.mean(), ex, se)
-    assert ss.shape == (96, 800, 2)
+    assert ss.shape == (96, 400, 2)
 
 
 def test_tfim_chain_matches_dense():
     edges = [((0, 1), -1.0), ((1, 2), -1.0)]
     beta, gamma = 1.0, 1.0
     q = build_tfim_runner(edges, gamma, 3, 96, seed=1)
-    es, _ = q.run_sampling(beta, 800, sampling_wait_buffer=800)
+    es, _ = q.run_sampling(beta, 400, sampling_wait_buffer=400)
     ex = dense_tfim_energy(edges, 0.0, gamma, beta, 3)
     se = es.std(ddof=1) / np.sqrt(len(es))
     assert abs(es.mean() - ex) < 4 * se + 0.05, (es.mean(), ex, se)
