@@ -7,20 +7,43 @@ is the driver-set north star (>= 50 attempted flips/ns/chip on a v5e chip,
 Workload parity: ``Lattice.run_monte_carlo`` on a 1024^2 periodic square
 ferromagnet (J=-1) at fixed beta — the reference's benchmark path
 (/root/reference/src/lattice.rs:171-221), with num_experiments a replica batch.
+
+Robustness: the TPU backend arrives through a tunnel that can be transiently
+unavailable (this killed the round-1 capture: BENCH_r01.json rc=1). The
+measurement therefore runs in a CHILD process — a fresh JAX client per attempt,
+honoring the one-client-per-tunnel rule — and the parent retries with backoff.
+On persistent failure the parent prints a structured JSON error line (still
+exactly one stdout line) and exits nonzero.
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
-import numpy as np
-
-import pyisingmontecarlo_tpu as pmc
-from pyisingmontecarlo_tpu.graph import grid_2d_edges
-
 NORTH_STAR = 50.0  # attempted flips/ns/chip
+BACKOFFS = [0, 10, 20, 40, 80, 160, 240]  # seconds before each attempt
+CHILD_ENV = "PMC_BENCH_CHILD"
 
 
-def main():
+def run_benchmark():
+    """The timed section (unchanged from round 1). Runs in the child process."""
+    import numpy as np  # noqa: F401
+
+    import jax
+
+    devs = jax.devices()  # raises if the backend is unavailable -> parent retries
+    platform = devs[0].platform
+    if platform != "tpu" and not os.environ.get("PMC_BENCH_ALLOW_CPU"):
+        raise RuntimeError(
+            f"benchmark requires a TPU device, got platform={platform!r} "
+            "(set PMC_BENCH_ALLOW_CPU=1 to override for local smoke runs)"
+        )
+
+    import pyisingmontecarlo_tpu as pmc
+    from pyisingmontecarlo_tpu.graph import grid_2d_edges
+
     L = 1024
     beta = 0.4
     replicas = 8
@@ -47,6 +70,65 @@ def main():
             }
         )
     )
+
+
+def main():
+    if os.environ.get(CHILD_ENV):
+        run_benchmark()
+        return
+
+    last_err = ""
+    for i, backoff in enumerate(BACKOFFS):
+        if backoff:
+            print(f"[bench] retry {i} in {backoff}s: {last_err[-200:]}", file=sys.stderr)
+            time.sleep(backoff)
+        env = dict(os.environ, **{CHILD_ENV: "1"})
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                timeout=3600,
+            )
+        except subprocess.TimeoutExpired:
+            last_err = "child timed out after 3600s"
+            continue
+        # forward child stderr (warnings, retry context) without touching stdout
+        if proc.stderr:
+            sys.stderr.write(proc.stderr[-4000:])
+        line = ""
+        for cand in reversed(proc.stdout.strip().splitlines()):
+            if cand.startswith("{"):
+                line = cand
+                break
+        if proc.returncode == 0 and line:
+            try:
+                parsed = json.loads(line)
+            except json.JSONDecodeError:
+                last_err = f"unparseable child output: {line[:200]}"
+                continue
+            if parsed.get("value") is not None:
+                print(line)
+                return
+            last_err = f"child reported no value: {line[:200]}"
+        else:
+            tail = (proc.stderr or proc.stdout or "").strip().splitlines()
+            last_err = " | ".join(tail[-3:]) if tail else f"rc={proc.returncode}"
+
+    print(
+        json.dumps(
+            {
+                "metric": "attempted_spin_flips_per_ns_per_chip_1024sq_metropolis",
+                "value": None,
+                "unit": "flips/ns/chip",
+                "vs_baseline": None,
+                "error": last_err[-500:],
+                "attempts": len(BACKOFFS),
+            }
+        )
+    )
+    sys.exit(1)
 
 
 if __name__ == "__main__":
