@@ -171,4 +171,59 @@ int32_t graphc_color_edges(int64_t nvars, int64_t nedges, const int32_t* ea,
   return ncolors;
 }
 
+// Greedy STRONG (distance-2) edge coloring into ecolors_out [nedges]: two
+// edges conflict if they share a vertex OR are joined by a bond (any endpoint
+// of one adjacent to any endpoint of the other). Within a class, flipping any
+// endpoint pair leaves every other same-class pair's local field unchanged —
+// the independence the parallel pair-flip move families require. Returns
+// #colors.
+int32_t graphc_strong_color_edges(int64_t nvars, int64_t nedges,
+                                  const int32_t* ea, const int32_t* eb,
+                                  int32_t* ecolors_out) {
+  // incidence CSR: vertex -> edge ids
+  std::vector<int64_t> start(nvars + 1, 0);
+  for (int64_t k = 0; k < nedges; ++k) {
+    start[ea[k] + 1]++;
+    start[eb[k] + 1]++;
+  }
+  for (int64_t v = 0; v < nvars; ++v) start[v + 1] += start[v];
+  std::vector<int32_t> inc(2 * nedges);
+  {
+    std::vector<int64_t> fill(start.begin(), start.end() - 1);
+    for (int64_t k = 0; k < nedges; ++k) {
+      inc[fill[ea[k]]++] = (int32_t)k;
+      inc[fill[eb[k]]++] = (int32_t)k;
+    }
+  }
+  Csr csr(nvars, nedges, ea, eb);
+  std::fill(ecolors_out, ecolors_out + nedges, -1);
+  std::vector<int32_t> used(64, -1);
+  std::vector<int32_t> close;
+  for (int64_t k = 0; k < nedges; ++k) {
+    close.clear();
+    const int32_t vs[2] = {ea[k], eb[k]};
+    for (const int32_t v : vs) {
+      close.push_back(v);
+      for (int64_t i = csr.start[v]; i < csr.start[v + 1]; ++i)
+        close.push_back(csr.adj[i]);
+    }
+    for (const int32_t v : close) {
+      for (int64_t i = start[v]; i < start[v + 1]; ++i) {
+        const int32_t c = ecolors_out[inc[i]];
+        if (c >= 0) {
+          if ((size_t)c >= used.size()) used.resize(c + 1, -1);
+          used[c] = (int32_t)k;
+        }
+      }
+    }
+    int32_t c = 0;
+    while ((size_t)c < used.size() && used[c] == (int32_t)k) ++c;
+    ecolors_out[k] = c;
+  }
+  int32_t ncolors = 0;
+  for (int64_t k = 0; k < nedges; ++k)
+    ncolors = std::max(ncolors, ecolors_out[k] + 1);
+  return ncolors;
+}
+
 }  // extern "C"

@@ -52,6 +52,10 @@ def _load():
             lib.graphc_color_sites.argtypes = [ctypes.c_int64, ctypes.c_int64, i32p, i32p, i32p]
             lib.graphc_color_edges.restype = ctypes.c_int32
             lib.graphc_color_edges.argtypes = [ctypes.c_int64, ctypes.c_int64, i32p, i32p, i32p]
+            lib.graphc_strong_color_edges.restype = ctypes.c_int32
+            lib.graphc_strong_color_edges.argtypes = [
+                ctypes.c_int64, ctypes.c_int64, i32p, i32p, i32p,
+            ]
             _lib = lib
         except Exception:
             _lib = None
@@ -96,4 +100,15 @@ def color_edges(nvars: int, ea: np.ndarray, eb: np.ndarray) -> np.ndarray:
     eb = np.ascontiguousarray(eb, np.int32)
     ecolors = np.empty(len(ea), np.int32)
     lib.graphc_color_edges(nvars, len(ea), ea, eb, ecolors)
+    return ecolors
+
+
+def strong_color_edges(nvars: int, ea: np.ndarray, eb: np.ndarray) -> np.ndarray:
+    lib = _load()
+    if not hasattr(lib, "graphc_strong_color_edges"):
+        raise AttributeError("stale native library without strong coloring")
+    ea = np.ascontiguousarray(ea, np.int32)
+    eb = np.ascontiguousarray(eb, np.int32)
+    ecolors = np.empty(len(ea), np.int32)
+    lib.graphc_strong_color_edges(nvars, len(ea), ea, eb, ecolors)
     return ecolors

@@ -53,6 +53,7 @@ class ClassicIsing:
         self.longitudinal = float(longitudinal)
         self.rng = MasterRng(seed)
         self.use_basic_moves = bool(use_basic_moves)
+        self.enable_cluster = False
         self._ga = None  # built lazily (torus runs may never need colorings)
         self._torus = detect_square_torus(self.cg)
         self._bias = jnp.full(self.nvars, self.longitudinal, jnp.float32)
@@ -91,6 +92,12 @@ class ClassicIsing:
             self._spins = jnp.concatenate([self._spins, s], axis=0)
             self._keys = jnp.concatenate([self._keys, key], axis=0)
 
+    def set_enable_cluster_updates(self, enable: bool) -> None:
+        """Framework extension (no reference analogue): include one
+        Swendsen-Wang cluster update per time step (see
+        Lattice.set_enable_cluster_updates)."""
+        self.enable_cluster = bool(enable)
+
     def get_states(self) -> np.ndarray:
         """Current spin configurations as bool[ngraphs, nvars]."""
         return np.asarray(self._spins == 1)
@@ -112,7 +119,12 @@ class ClassicIsing:
         periodic square lattice and only spin sweeps are requested (edge/worm
         families are redundant for ergodicity on an unfrustrated torus; they
         run on the generic path when explicitly requested)."""
-        return self._torus is not None and margs["nedge_sweeps"] == 0 and margs["nworms"] == 0
+        return (
+            self._torus is not None
+            and margs["nedge_sweeps"] == 0
+            and margs["nworms"] == 0
+            and margs["nclusters"] == 0
+        )
 
     def _move_args(self, nspin, nedge, nworm, only_basic):
         only = self.use_basic_moves if only_basic is None else bool(only_basic)
@@ -130,6 +142,7 @@ class ClassicIsing:
             only_basic=only,
             heatbath=False,
             wlen=min(self.nvars, _DEF_WLEN),
+            nclusters=1 if (self.enable_cluster and not only) else 0,
         )
 
     def run_monte_carlo(

@@ -41,6 +41,7 @@ __all__ = [
     "random_states",
     "time_step",
     "run_steps",
+    "sw_cluster_update",
     "run_sampling",
 ]
 
@@ -84,13 +85,22 @@ def device_graph(cg: CompiledGraph) -> GraphArrays:
         c_sites=tuple(jnp.asarray(s, jnp.int32) for s in cg.color_sites),
         c_nbrs=tuple(jnp.asarray(cg.neighbors[s], jnp.int32) for s in cg.color_sites),
         c_j=tuple(jnp.asarray(cg.jmat[s], _F) for s in cg.color_sites),
-        e_a=tuple(jnp.asarray(cg.edge_a[e], jnp.int32) for e in cg.ecolor_edges),
-        e_b=tuple(jnp.asarray(cg.edge_b[e], jnp.int32) for e in cg.ecolor_edges),
-        e_j=tuple(jnp.asarray(cg.edge_j[e], _F) for e in cg.ecolor_edges),
-        e_a_nbrs=tuple(jnp.asarray(cg.neighbors[cg.edge_a[e]], jnp.int32) for e in cg.ecolor_edges),
-        e_a_j=tuple(jnp.asarray(cg.jmat[cg.edge_a[e]], _F) for e in cg.ecolor_edges),
-        e_b_nbrs=tuple(jnp.asarray(cg.neighbors[cg.edge_b[e]], jnp.int32) for e in cg.ecolor_edges),
-        e_b_j=tuple(jnp.asarray(cg.jmat[cg.edge_b[e]], _F) for e in cg.ecolor_edges),
+        # pair-flip tables use the STRONG (distance-2) edge coloring: within a
+        # class no two pairs share a vertex or a bond, so simultaneous flips
+        # with locally computed delta-E are a product of independent
+        # reversible kernels. A merely proper edge coloring biases the
+        # distribution (tests/test_edge_move_exact.py).
+        e_a=tuple(jnp.asarray(cg.edge_a[e], jnp.int32) for e in cg.strong_ecolor_edges),
+        e_b=tuple(jnp.asarray(cg.edge_b[e], jnp.int32) for e in cg.strong_ecolor_edges),
+        e_j=tuple(jnp.asarray(cg.edge_j[e], _F) for e in cg.strong_ecolor_edges),
+        e_a_nbrs=tuple(
+            jnp.asarray(cg.neighbors[cg.edge_a[e]], jnp.int32) for e in cg.strong_ecolor_edges
+        ),
+        e_a_j=tuple(jnp.asarray(cg.jmat[cg.edge_a[e]], _F) for e in cg.strong_ecolor_edges),
+        e_b_nbrs=tuple(
+            jnp.asarray(cg.neighbors[cg.edge_b[e]], jnp.int32) for e in cg.strong_ecolor_edges
+        ),
+        e_b_j=tuple(jnp.asarray(cg.jmat[cg.edge_b[e]], _F) for e in cg.strong_ecolor_edges),
     )
 
 
@@ -175,12 +185,14 @@ def _worm_update(ga, bias, s, subkeys, beta, wlen: int, heatbath: bool):
     family without data-dependent control flow)."""
     R, nvars = s.shape
     r_idx = jnp.arange(R)
+    # split FIRST so the uniform block and the start-site draw use distinct
+    # child keys (no key reuse between the two streams)
+    ku, k0 = split_keys(subkeys)
     # all randomness generated up front (2 uniforms per step per replica):
     # u_acc for Metropolis acceptance, u_mov for start-site / neighbor choice
-    u_all = _uniform_per_replica(subkeys, (wlen, 2))  # [R, wlen, 2]
+    u_all = _uniform_per_replica(ku, (wlen, 2))  # [R, wlen, 2]
     u_acc = jnp.moveaxis(u_all[..., 0], 1, 0)  # [wlen, R]
     u_mov = jnp.moveaxis(u_all[..., 1], 1, 0)
-    keys, k0 = split_keys(subkeys)
     v0 = jax.vmap(lambda k: jax.random.randint(k, (), 0, nvars))(k0)
 
     def body(carry, us):
@@ -202,6 +214,65 @@ def _worm_update(ga, bias, s, subkeys, beta, wlen: int, heatbath: bool):
     return s
 
 
+def sw_cluster_update(ga: GraphArrays, bias: jax.Array, s: jax.Array, subkeys, beta):
+    """One Swendsen-Wang cluster update per replica (Fortuin-Kasteleyn).
+
+    TPU-native large-move family standing in for the reference worm's
+    loop-building role (/root/reference/src/classicising.rs:100-106 call site;
+    VERDICT.md round-1 item 5). Works on arbitrary signed couplings: a bond
+    ``e=(a,b)`` is *satisfied* when its energy contribution ``J_e s_a s_b`` is
+    negative and freezes with probability ``1 - exp(-2 beta |J_e|)``; clusters
+    are connected components of frozen bonds, found by iterative scatter-min
+    label propagation with pointer doubling (O(log diameter) rounds, all
+    dense array ops). Longitudinal fields use the standard ghost-spin
+    construction: site ``i`` freezes to the fixed +1 ghost with probability
+    ``1 - exp(-2 beta |h_i|)`` when ``h_i s_i < 0``; ghost-frozen clusters do
+    not flip, all others flip with probability 1/2. Exact detailed balance
+    w.r.t. ``exp(-beta E)``; no acceptance step.
+    """
+    R, nvars = s.shape
+    ea, eb = ga.edge_a, ga.edge_b
+    k1, k_e = split_keys(subkeys)
+    k2, k_g = split_keys(k1)
+    _, k_f = split_keys(k2)
+
+    sf = s.astype(_F)
+    sa = jnp.take(sf, ea, axis=1)
+    sb = jnp.take(sf, eb, axis=1)
+    p_e = 1.0 - jnp.exp(-2.0 * beta * jnp.abs(ga.edge_j))[None]  # [1, E]
+    u_e = _uniform_per_replica(k_e, (ea.shape[0],))
+    frozen = ((ga.edge_j[None] * sa * sb) < 0) & (u_e < p_e)  # [R, E]
+
+    u_g = _uniform_per_replica(k_g, (nvars,))
+    p_g = 1.0 - jnp.exp(-2.0 * beta * jnp.abs(bias))[None]
+    ghost = ((bias[None] * sf) < 0) & (u_g < p_g)  # [R, nvars]
+
+    lab0 = jnp.broadcast_to(jnp.arange(nvars, dtype=jnp.int32)[None], (R, nvars))
+    big = jnp.int32(nvars)
+
+    def body(state):
+        lab, _ = state
+        la = jnp.take(lab, ea, axis=1)
+        lb = jnp.take(lab, eb, axis=1)
+        new = (
+            lab.at[:, ea].min(jnp.where(frozen, lb, big))
+            .at[:, eb].min(jnp.where(frozen, la, big))
+        )
+        new = jnp.take_along_axis(new, new, axis=1)  # pointer doubling
+        return new, jnp.any(new != lab)
+
+    lab, _ = lax.while_loop(lambda st: st[1], body, (lab0, jnp.bool_(True)))
+
+    r_idx = jnp.arange(R)[:, None]
+    ghost_root = (
+        jnp.zeros((R, nvars), jnp.int32).at[r_idx, lab].max(ghost.astype(jnp.int32))
+    )
+    u_f = _uniform_per_replica(k_f, (nvars,))
+    flip_root = (u_f < 0.5) & (ghost_root == 0)
+    flip = jnp.take_along_axis(flip_root, lab, axis=1)
+    return jnp.where(flip, -s, s)
+
+
 def time_step(
     ga: GraphArrays,
     bias: jax.Array,
@@ -214,6 +285,7 @@ def time_step(
     only_basic: bool,
     heatbath: bool,
     wlen: int,
+    nclusters: int = 0,
 ):
     """One reference 'time step' (GraphState::do_time_step analogue)."""
     for _ in range(nspin_sweeps):
@@ -228,22 +300,29 @@ def time_step(
         for _ in range(nworms):
             keys, sub = split_keys(keys)
             s = _worm_update(ga, bias, s, sub, beta, wlen, heatbath)
+        for _ in range(nclusters):
+            keys, sub = split_keys(keys)
+            s = sw_cluster_update(ga, bias, s, sub, beta)
     return s, keys
 
 
 @partial(
     jax.jit,
-    static_argnames=("nspin_sweeps", "nedge_sweeps", "nworms", "only_basic", "heatbath", "wlen"),
+    static_argnames=(
+        "nspin_sweeps", "nedge_sweeps", "nworms", "only_basic", "heatbath", "wlen", "nclusters",
+    ),
 )
 def run_steps(
-    ga, bias, s, keys, beta_arr, nspin_sweeps, nedge_sweeps, nworms, only_basic, heatbath, wlen
+    ga, bias, s, keys, beta_arr, nspin_sweeps, nedge_sweeps, nworms, only_basic, heatbath, wlen,
+    nclusters=0,
 ):
     """Run len(beta_arr) time steps; beta may vary per step (annealing)."""
 
     def body(carry, beta):
         s, keys = carry
         s, keys = time_step(
-            ga, bias, s, keys, beta, nspin_sweeps, nedge_sweeps, nworms, only_basic, heatbath, wlen
+            ga, bias, s, keys, beta, nspin_sweeps, nedge_sweeps, nworms, only_basic, heatbath,
+            wlen, nclusters,
         )
         return (s, keys), None
 
@@ -253,17 +332,21 @@ def run_steps(
 
 @partial(
     jax.jit,
-    static_argnames=("nspin_sweeps", "nedge_sweeps", "nworms", "only_basic", "heatbath", "wlen"),
+    static_argnames=(
+        "nspin_sweeps", "nedge_sweeps", "nworms", "only_basic", "heatbath", "wlen", "nclusters",
+    ),
 )
 def run_steps_energies(
-    ga, bias, s, keys, beta_arr, nspin_sweeps, nedge_sweeps, nworms, only_basic, heatbath, wlen
+    ga, bias, s, keys, beta_arr, nspin_sweeps, nedge_sweeps, nworms, only_basic, heatbath, wlen,
+    nclusters=0,
 ):
     """Like run_steps but records the energy after every time step."""
 
     def body(carry, beta):
         s, keys = carry
         s, keys = time_step(
-            ga, bias, s, keys, beta, nspin_sweeps, nedge_sweeps, nworms, only_basic, heatbath, wlen
+            ga, bias, s, keys, beta, nspin_sweeps, nedge_sweeps, nworms, only_basic, heatbath,
+            wlen, nclusters,
         )
         return (s, keys), energy(ga, bias, s)
 
@@ -282,6 +365,7 @@ def run_steps_energies(
         "only_basic",
         "heatbath",
         "wlen",
+        "nclusters",
     ),
 )
 def run_sampling(
@@ -298,6 +382,7 @@ def run_sampling(
     only_basic,
     heatbath,
     wlen,
+    nclusters=0,
 ):
     """timesteps steps at fixed beta, recording (energy, state) after every
     sampling_freq-th step. Returns (s, keys, energies[R, t//freq],
@@ -308,7 +393,8 @@ def run_sampling(
         s, keys = carry
         beta_arr = jnp.full((sampling_freq,), beta, _F)
         s, keys = run_steps(
-            ga, bias, s, keys, beta_arr, nspin_sweeps, nedge_sweeps, nworms, only_basic, heatbath, wlen
+            ga, bias, s, keys, beta_arr, nspin_sweeps, nedge_sweeps, nworms, only_basic, heatbath,
+            wlen, nclusters,
         )
         return (s, keys), (energy(ga, bias, s), s)
 
@@ -317,6 +403,7 @@ def run_sampling(
     if rem:
         beta_arr = jnp.full((rem,), beta, _F)
         s, keys = run_steps(
-            ga, bias, s, keys, beta_arr, nspin_sweeps, nedge_sweeps, nworms, only_basic, heatbath, wlen
+            ga, bias, s, keys, beta_arr, nspin_sweeps, nedge_sweeps, nworms, only_basic, heatbath,
+            wlen, nclusters,
         )
     return s, keys, es.T, jnp.swapaxes(ss, 0, 1)

@@ -131,6 +131,40 @@ def _color_sites_python(nvars: int, ea: np.ndarray, eb: np.ndarray) -> np.ndarra
     return colors
 
 
+def _strong_color_edges_python(nvars: int, ea: np.ndarray, eb: np.ndarray) -> np.ndarray:
+    """Greedy STRONG (distance-2) edge coloring: two edges get distinct colors
+    if they share a vertex OR are joined by a bond of the graph. Within one
+    class, flipping the endpoint pair of any edge leaves every other
+    same-class pair's local field unchanged, so simultaneous pair updates are
+    a product of independent reversible kernels. A merely *proper* edge
+    coloring is NOT enough for parallel pair flips: vertex-disjoint pairs can
+    still interact through a bond, and simultaneous Glauber moves with
+    individually computed delta-E then bias the sampled distribution
+    (caught by tests/test_edge_move_exact.py)."""
+    nedges = len(ea)
+    incident = [[] for _ in range(nvars)]
+    for k in range(nedges):
+        incident[int(ea[k])].append(k)
+        incident[int(eb[k])].append(k)
+    adj = _adjacency_lists(nvars, ea, eb)
+    colors = np.full(nedges, -1, dtype=np.int32)
+    for k in range(nedges):
+        a, b = int(ea[k]), int(eb[k])
+        close = {a, b}
+        close.update(adj[a])
+        close.update(adj[b])
+        used = set()
+        for v in close:
+            for e2 in incident[v]:
+                if colors[e2] >= 0:
+                    used.add(int(colors[e2]))
+        c = 0
+        while c in used:
+            c += 1
+        colors[k] = c
+    return colors
+
+
 def _color_edges_python(nvars: int, ea: np.ndarray, eb: np.ndarray) -> np.ndarray:
     """Greedy proper edge coloring (<= 2*max_deg - 1 classes); fallback."""
     nedges = len(ea)
@@ -177,6 +211,7 @@ class CompiledGraph:
         self._ell = None
         self._colors: Optional[np.ndarray] = None
         self._ecolors: Optional[np.ndarray] = None
+        self._strong_ecolors: Optional[np.ndarray] = None
 
     # ------------------------------------------------------------------- ELL
 
@@ -253,6 +288,31 @@ class CompiledGraph:
         ec = self.edge_colors
         return tuple(np.nonzero(ec == k)[0].astype(np.int32) for k in range(self.necolors))
 
+    @property
+    def strong_edge_colors(self) -> np.ndarray:
+        """Strong (distance-2) edge coloring — the one the parallel pair-flip
+        move families must use (see _strong_color_edges_python)."""
+        if self._strong_ecolors is None:
+            ng = _native()
+            if ng is not None:
+                try:
+                    self._strong_ecolors = ng.strong_color_edges(
+                        self.nvars, self.edge_a, self.edge_b
+                    )
+                except AttributeError:  # stale prebuilt library
+                    pass
+            if self._strong_ecolors is None:
+                self._strong_ecolors = _strong_color_edges_python(
+                    self.nvars, self.edge_a, self.edge_b
+                )
+        return self._strong_ecolors
+
+    @property
+    def strong_ecolor_edges(self) -> Tuple[np.ndarray, ...]:
+        ec = self.strong_edge_colors
+        nc = int(ec.max()) + 1
+        return tuple(np.nonzero(ec == k)[0].astype(np.int32) for k in range(nc))
+
     # ------------------------------------------------------------ validation
 
     def validate(self) -> None:
@@ -266,6 +326,22 @@ class CompiledGraph:
             verts = np.concatenate([self.edge_a[eids], self.edge_b[eids]])
             if len(np.unique(verts)) != len(verts):
                 raise AssertionError("edge coloring is not proper")
+        # strong classes: no two same-class edges share a vertex or a bond
+        adj = {(int(a), int(b)) for a, b in zip(self.edge_a, self.edge_b)}
+        adj |= {(b, a) for a, b in adj}
+        for eids in self.strong_ecolor_edges:
+            verts = np.concatenate([self.edge_a[eids], self.edge_b[eids]])
+            if len(np.unique(verts)) != len(verts):
+                raise AssertionError("strong edge class shares a vertex")
+            pts = list(zip(self.edge_a[eids].tolist(), self.edge_b[eids].tolist()))
+            for i in range(len(pts)):
+                for k in range(i + 1, len(pts)):
+                    for x in pts[i]:
+                        for y in pts[k]:
+                            if (x, y) in adj:
+                                raise AssertionError(
+                                    "strong edge class joined by a bond"
+                                )
 
 
 def compile_graph(edges: Sequence) -> CompiledGraph:

@@ -53,6 +53,7 @@ class Lattice:
         self.initial_state: Optional[np.ndarray] = None
         self.enable_rvb = False
         self.enable_heatbath = False
+        self.enable_cluster = False
         self._ga = None  # lazily-built device graph
         # uniform-J periodic square lattices dispatch to the fused 2D fast
         # path (ops/lattice2d.py); (L, J) or None
@@ -75,6 +76,14 @@ class Lattice:
     def set_enable_heatbath_update(self, enable: bool) -> None:
         """lattice.rs:99-101."""
         self.enable_heatbath = bool(enable)
+
+    def set_enable_cluster_updates(self, enable: bool) -> None:
+        """Framework extension (no reference analogue): include one
+        Swendsen-Wang cluster update per classical time step
+        (engines/classical.py:sw_cluster_update). Large-move family for
+        low-temperature / quench workloads where single-flip dynamics coarsen
+        slowly; samples the identical Gibbs distribution. Off by default."""
+        self.enable_cluster = bool(enable)
 
     def set_individual_bias(self, var: int, bias: float) -> None:
         """lattice.rs:104-126 — promotes Global->Individual vector; OOB ValueError."""
@@ -129,7 +138,9 @@ class Lattice:
         )
         other.enable_rvb = self.enable_rvb
         other.enable_heatbath = self.enable_heatbath
+        other.enable_cluster = self.enable_cluster
         other._ga = self._ga
+        other._torus = self._torus
         return other
 
     # ------------------------------------------------------------- internals
@@ -164,8 +175,15 @@ class Lattice:
         a uniform-J periodic square lattice and the bias is global. The fast
         path runs checkerboard single-spin sweeps (the extra edge/worm families
         are redundant for ergodicity on an unfrustrated uniform torus; the
-        sampled equilibrium distribution is identical)."""
-        return self._torus is not None and self.bias[0] == "global" and not self.enable_heatbath
+        sampled equilibrium distribution is identical). Cluster updates
+        (set_enable_cluster_updates) route to the generic engine, which has
+        the Swendsen-Wang family."""
+        return (
+            self._torus is not None
+            and self.bias[0] == "global"
+            and not self.enable_heatbath
+            and not self.enable_cluster
+        )
 
     def _classical_setup_2d(self, num_experiments: int):
         L = self._torus[0]
@@ -198,6 +216,7 @@ class Lattice:
             only_basic=only_basic,
             heatbath=self.enable_heatbath,
             wlen=min(self.nvars, _DEF_WLEN),
+            nclusters=1 if (self.enable_cluster and not only_basic) else 0,
         )
 
     def _anneal_schedule(self, betas, timesteps: int) -> np.ndarray:
