@@ -22,6 +22,20 @@ import numpy as np
 __all__ = ["autocorrelation"]
 
 
+def pad_autocorr(corr: np.ndarray, timesteps: int) -> np.ndarray:
+    """Reference output-shape quirk for the stateful classes (SURVEY.md 2.4.2):
+    the binding zero-fills ``[n, timesteps]`` and copies the ``t/freq``-length
+    autocorrelation series into the leading columns
+    (/root/reference/src/qmcising.rs:306-321 ``Array::default`` + ``zip``)."""
+    corr = np.asarray(corr, np.float64)
+    timesteps = int(timesteps)
+    if corr.shape[1] == timesteps:
+        return corr
+    out = np.zeros((corr.shape[0], timesteps), np.float64)
+    out[:, : corr.shape[1]] = corr[:, :timesteps]
+    return out
+
+
 def autocorrelation(x: np.ndarray) -> np.ndarray:
     """x: [R, T, C] series -> rho[R, T] averaged over channels C."""
     x = np.asarray(x, np.float64)

@@ -15,8 +15,12 @@ Edge = Tuple[Tuple[int, int], float]
 
 
 def chain_edges(n: int, j: float = -1.0, periodic: bool = True) -> List[Edge]:
-    """1D chain of n sites."""
-    last = n if periodic else n - 1
+    """1D chain of n sites. A periodic 2-chain has a single bond (the wrap
+    edge would duplicate it); n < 2 has no valid edges."""
+    n = int(n)
+    if n < 2:
+        raise ValueError("chain_edges requires n >= 2")
+    last = n if (periodic and n > 2) else n - 1
     return [((i, (i + 1) % n), float(j)) for i in range(last)]
 
 

@@ -33,6 +33,7 @@ import numpy as np
 
 from .engines import classical as ce
 from .engines import worldline as wl
+from .engines.observables import pad_autocorr
 from .graph import compile_graph
 from .rng import MasterRng, keys_from_seeds
 from .utils import cbor
@@ -165,19 +166,29 @@ class QmcIsing:
     # ------------------------------------------------------------------- runs
 
     def run_qmc(self, beta: float, timesteps: int) -> None:
-        """qmcising.rs:139-143 — full sweeps over all graphs, no return."""
+        """qmcising.rs:139-143 — full sweeps over all graphs, no return.
+        Runs on an empty container are no-ops (reference iterates an empty
+        Vec)."""
+        if self.num_graphs == 0:
+            return
         self._ensure(beta).timesteps(int(timesteps))
 
     def run_diagonal(self, beta: float, timesteps: Optional[int] = None) -> None:
         """qmcising.rs:146-151 — single-site-update-only sweeps."""
+        if self.num_graphs == 0:
+            return
         self._ensure(beta).diagonal_sweeps(int(timesteps or 1))
 
     def run_cluster(self) -> np.ndarray:
         """qmcising.rs:154-165 — one cluster update each -> cluster_sizes[n]."""
+        if self.num_graphs == 0:
+            return np.zeros(0, np.int64)
         return self._ensure(None).cluster_step()
 
     def run_rvb(self, timesteps: Optional[int] = None, updates_per_sweep: Optional[int] = None):
         """qmcising.rs:168-190 -> success_ratio[n, timesteps] f64."""
+        if self.num_graphs == 0:
+            return np.zeros((0, int(timesteps or 1)), np.float64)
         return self._ensure(None).rvb_sweeps(int(timesteps or 1), updates_per_sweep)
 
     def run_sampling(
@@ -188,9 +199,14 @@ class QmcIsing:
         sampling_freq: Optional[int] = None,
     ):
         """qmcising.rs:200-240 -> (energies[n], states[n, t/freq, nvars])."""
-        w = self._ensure(beta)
         wait = min(int(sampling_wait_buffer or 0), int(timesteps))
         freq = int(sampling_freq) if sampling_freq else 1
+        if self.num_graphs == 0:
+            return (
+                np.zeros(0, np.float64),
+                np.zeros((0, int(timesteps) // freq, self.nvars), bool),
+            )
+        w = self._ensure(beta)
         if wait:
             w.timesteps(wait)
         es, ss = w.timesteps_sample(int(timesteps), freq)
@@ -206,9 +222,11 @@ class QmcIsing:
         """qmcising.rs:250-287 -> bond_counts[n, t/freq, nbonds] int (SSE
         diagonal-op count per bond; worldline estimator, see
         engines/worldline.bond_op_counts)."""
-        w = self._ensure(beta)
         wait = min(int(sampling_wait_buffer or 0), int(timesteps))
         freq = int(sampling_freq) if sampling_freq else 1
+        if self.num_graphs == 0:
+            return np.zeros((0, int(timesteps) // freq, self.cg.nedges), np.int64)
+        w = self._ensure(beta)
         if wait:
             w.timesteps(wait)
         _, counts = w.bond_sample(int(timesteps), freq)
@@ -229,10 +247,16 @@ class QmcIsing:
         sampling_wait_buffer: Optional[int] = None,
         sampling_freq: Optional[int] = None,
     ):
-        """qmcising.rs:297-323 -> corrs[n, timesteps] (every sweep sampled;
-        see SURVEY.md section 2.4 quirk 2 on the output-shape convention)."""
+        """qmcising.rs:297-323 -> corrs[n, timesteps]: the t/freq-length
+        autocorrelation of the freq-sampled series in the leading columns of a
+        zero-filled [n, timesteps] array (SURVEY.md 2.4 quirk 2)."""
+        freq = int(sampling_freq) if sampling_freq else 1
+        if self.num_graphs == 0:
+            return np.zeros((0, int(timesteps)), np.float64)
         w = self._autocorr_run(beta, timesteps, sampling_wait_buffer)
-        return np.asarray(w.variable_autocorrelation(int(timesteps), 1), np.float64)
+        return pad_autocorr(
+            w.variable_autocorrelation(int(timesteps), freq), int(timesteps)
+        )
 
     def run_quantum_monte_carlo_and_measure_spin_product_autocorrelation(
         self,
@@ -247,9 +271,13 @@ class QmcIsing:
             for v in sub:
                 if int(v) < 0 or int(v) >= self.nvars:
                     raise ValueError(f"Spin product variable {v} out of bounds")
+        freq = int(sampling_freq) if sampling_freq else 1
+        if self.num_graphs == 0:
+            return np.zeros((0, int(timesteps)), np.float64)
         w = self._autocorr_run(beta, timesteps, sampling_wait_buffer)
-        return np.asarray(
-            w.spin_product_autocorrelation(int(timesteps), 1, spin_products), np.float64
+        return pad_autocorr(
+            w.spin_product_autocorrelation(int(timesteps), freq, spin_products),
+            int(timesteps),
         )
 
     def run_quantum_monte_carlo_and_measure_bond_autocorrelation(
@@ -260,8 +288,13 @@ class QmcIsing:
         sampling_freq: Optional[int] = None,
     ):
         """qmcising.rs:379-404 -> corrs[n, timesteps]."""
+        freq = int(sampling_freq) if sampling_freq else 1
+        if self.num_graphs == 0:
+            return np.zeros((0, int(timesteps)), np.float64)
         w = self._autocorr_run(beta, timesteps, sampling_wait_buffer)
-        return np.asarray(w.bond_autocorrelation(int(timesteps), 1), np.float64)
+        return pad_autocorr(
+            w.bond_autocorrelation(int(timesteps), freq), int(timesteps)
+        )
 
     # ------------------------------------------------------------ inspection
 

@@ -181,15 +181,19 @@ class QmcRunner:
         _, counts = w.bond_sample(int(timesteps), freq)
         return counts
 
-    def _autocorr(self, beta, timesteps, wait, series_fn):
-        from .engines.observables import autocorrelation
+    def _autocorr(self, beta, timesteps, wait, freq, series_fn):
+        """Autocorrelation of the freq-sampled series, zero-padded into the
+        [n, timesteps] output (reference quirk, SURVEY.md 2.4.2; the reference
+        forwards sampling_freq to calculate_*_autocorrelation,
+        qmcrunner.rs:267-284)."""
+        from .engines.observables import autocorrelation, pad_autocorr
 
         w = self._ensure(beta)
         if wait:
             w.timesteps(int(wait))
-        _, samples = w.timesteps_sample(int(timesteps), 1)
+        _, samples = w.timesteps_sample(int(timesteps), int(freq))
         x = np.where(samples, 1.0, -1.0)
-        return autocorrelation(series_fn(x))
+        return pad_autocorr(autocorrelation(series_fn(x)), int(timesteps))
 
     def run_quantum_monte_carlo_and_measure_variable_autocorrelation(
         self,
@@ -199,8 +203,10 @@ class QmcRunner:
         sampling_freq: Optional[int] = None,
     ):
         """qmcrunner.rs:258-284 -> corrs[n, timesteps]."""
+        freq = int(sampling_freq) if sampling_freq else 1
         return np.asarray(
-            self._autocorr(beta, timesteps, sampling_wait_buffer, lambda x: x), np.float64
+            self._autocorr(beta, timesteps, sampling_wait_buffer, freq, lambda x: x),
+            np.float64,
         )
 
     def run_quantum_monte_carlo_and_measure_spin_product_autocorrelation(
@@ -216,11 +222,13 @@ class QmcRunner:
             for v in sub:
                 if int(v) < 0 or int(v) >= self.nvars:
                     raise ValueError(f"Spin product variable {v} out of bounds")
+        freq = int(sampling_freq) if sampling_freq else 1
         return np.asarray(
             self._autocorr(
                 beta,
                 timesteps,
                 sampling_wait_buffer,
+                freq,
                 lambda x: np.stack(
                     [np.prod(x[:, :, list(sub)], axis=2) for sub in spin_products], axis=2
                 ),
@@ -237,13 +245,16 @@ class QmcRunner:
     ):
         """qmcrunner.rs:340-365 -> corrs[n, timesteps] over per-interaction
         diagonal energy series."""
+        from .engines.observables import autocorrelation, pad_autocorr
+
+        freq = int(sampling_freq) if sampling_freq else 1
         w = self._ensure(beta)
         if sampling_wait_buffer:
             w.timesteps(int(sampling_wait_buffer))
-        from .engines.observables import autocorrelation
-
-        _, counts = w.bond_sample(int(timesteps), 1)
-        return np.asarray(autocorrelation(counts.astype(np.float64)), np.float64)
+        _, counts = w.bond_sample(int(timesteps), freq)
+        return pad_autocorr(
+            autocorrelation(counts.astype(np.float64)), int(timesteps)
+        )
 
     # ------------------------------------------------------------ inspection
 

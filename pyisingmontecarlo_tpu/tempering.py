@@ -323,17 +323,24 @@ class LatticeTempering:
 
     # ---------------------------------------------------------- correlations
 
-    def _autocorr(self, timesteps, sampling_wait_buffer, replica_swap_freq, series_fn):
-        from .engines.observables import autocorrelation
+    def _autocorr(self, timesteps, sampling_wait_buffer, replica_swap_freq,
+                  sampling_freq, series_fn):
+        """Autocorrelation of the sampling_freq-sampled series, zero-padded
+        into the [ngraphs, timesteps] output (reference forwards sampling_freq
+        to the container, tempering.rs:246-250; shape quirk SURVEY.md 2.4.2)."""
+        from .engines.observables import autocorrelation, pad_autocorr
 
         wait = int(sampling_wait_buffer or 0)
         swap_freq = int(replica_swap_freq) if replica_swap_freq else 1
+        freq = int(sampling_freq) if sampling_freq else 1
         if wait:
             self._run(wait, swap_freq)
         _, states = self._run(int(timesteps), swap_freq)
-        x = np.where(np.asarray(states), 1.0, -1.0)  # [t, R, nvars]
-        x = np.swapaxes(x, 0, 1)  # [R, t, nvars]
-        return autocorrelation(series_fn(x))
+        # states are int8 +-1 spins (NOT bool): compare to +1 explicitly —
+        # -1 is truthy, so np.where(states, ...) would map both signs to +1
+        x = np.where(np.asarray(states[freq - 1 :: freq]) == 1, 1.0, -1.0)  # [t/freq, R, nvars]
+        x = np.swapaxes(x, 0, 1)  # [R, t/freq, nvars]
+        return pad_autocorr(autocorrelation(series_fn(x)), int(timesteps))
 
     def run_quantum_monte_carlo_and_measure_variable_autocorrelation(
         self,
@@ -344,7 +351,9 @@ class LatticeTempering:
     ):
         """tempering.rs:233-258 -> corrs[ngraphs, timesteps], with tempering
         swaps interleaved (container-delegated in the reference)."""
-        return self._autocorr(timesteps, sampling_wait_buffer, replica_swap_freq, lambda x: x)
+        return self._autocorr(
+            timesteps, sampling_wait_buffer, replica_swap_freq, sampling_freq, lambda x: x
+        )
 
     def run_quantum_monte_carlo_and_measure_bond_autocorrelation(
         self,
@@ -360,6 +369,7 @@ class LatticeTempering:
             timesteps,
             sampling_wait_buffer,
             replica_swap_freq,
+            sampling_freq,
             lambda x: x[:, :, ea] * x[:, :, eb],
         )
 
