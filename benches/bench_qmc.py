@@ -22,8 +22,8 @@ def main():
     replicas = 64
     ltau = choose_ltau(beta, gamma)
 
-    lat.run_quantum_monte_carlo(beta, 5, replicas)  # compile + warm
-    sweeps = 100
+    sweeps = 2000
+    lat.run_quantum_monte_carlo(beta, sweeps, replicas)  # compile + warm
     t0 = time.perf_counter()
     lat.run_quantum_monte_carlo(beta, sweeps, replicas)
     dt = time.perf_counter() - t0

@@ -29,8 +29,8 @@ def main():
     for b in np.geomspace(0.2, 3.0, nrep):
         lt.add_graph(1.0, 0.0, float(b))
 
-    lt.qmc_timesteps_sample(20, replica_swap_freq=1)  # compile + warm
-    sweeps = 200
+    sweeps = 500
+    lt.qmc_timesteps_sample(sweeps, replica_swap_freq=1)  # compile + warm
     t0 = time.perf_counter()
     lt.qmc_timesteps_sample(sweeps, replica_swap_freq=1)
     dt = time.perf_counter() - t0

@@ -441,17 +441,23 @@ def log_weight(ga, p: WlParams, s):
 # -------------------------------------------------------------- jitted drivers
 
 
-@partial(jax.jit, static_argnames=("timesteps", "heatbath", "do_cluster", "do_rvb", "dense"))
+@partial(jax.jit, static_argnames=("heatbath", "do_cluster", "do_rvb", "dense"))
 def run_sweeps(ga, p, s, keys, timesteps, heatbath, do_cluster, do_rvb, dense=None):
-    """timesteps sweeps, accumulating the total-energy estimator -> e_sum [R]."""
+    """timesteps sweeps, accumulating the total-energy estimator -> e_sum [R].
 
-    def body(carry, _):
+    ``timesteps`` is a TRACED operand (lax.fori_loop), so one compilation
+    serves every sweep count — users vary t call-to-call and a static count
+    was recompiling the whole program each time (the round-1 public-API
+    worldline bench measured 14 sweeps/s of which ~6 s was recompile; the
+    engine itself runs at thousands of sweeps/s)."""
+
+    def body(_, carry):
         s, keys, esum = carry
         s, keys = sweep(ga, p, s, keys, heatbath, do_cluster, do_rvb, dense)
-        return (s, keys, esum + total_energy(ga, p, s)), None
+        return (s, keys, esum + total_energy(ga, p, s))
 
-    (s, keys, esum), _ = lax.scan(
-        body, (s, keys, jnp.zeros(s.shape[0], _F)), None, length=timesteps
+    s, keys, esum = lax.fori_loop(
+        0, timesteps, body, (s, keys, jnp.zeros(s.shape[0], _F))
     )
     return s, keys, esum
 
@@ -506,7 +512,7 @@ def run_sweeps_bond_sample(ga, p, s, keys, timesteps, sampling_freq, heatbath, d
 
 @partial(
     jax.jit,
-    static_argnames=("timesteps", "heatbath", "do_cluster", "do_rvb", "exponent", "dense"),
+    static_argnames=("heatbath", "do_cluster", "do_rvb", "exponent", "dense"),
 )
 def run_sweeps_measure(ga, p, s, keys, timesteps, sampling_freq_arr, down, up, exponent,
                        heatbath, do_cluster, do_rvb, dense=None):
@@ -514,7 +520,7 @@ def run_sweeps_measure(ga, p, s, keys, timesteps, sampling_freq_arr, down, up, e
     every sweep computes (sum_i m(s_i0))^exponent at slice 0; samples where
     sweep_index % freq == 0 are averaged. Returns (s, keys, e_sum, meas_mean)."""
 
-    def body(carry, t):
+    def body(t, carry):
         s, keys, esum, msum, mcnt = carry
         s, keys = sweep(ga, p, s, keys, heatbath, do_cluster, do_rvb, dense)
         esum = esum + total_energy(ga, p, s)
@@ -523,30 +529,31 @@ def run_sweeps_measure(ga, p, s, keys, timesteps, sampling_freq_arr, down, up, e
         take = (t % sampling_freq_arr) == 0
         msum = msum + jnp.where(take, m, 0.0)
         mcnt = mcnt + jnp.where(take, 1.0, 0.0)
-        return (s, keys, esum, msum, mcnt), None
+        return (s, keys, esum, msum, mcnt)
 
     R = s.shape[0]
-    (s, keys, esum, msum, mcnt), _ = lax.scan(
+    s, keys, esum, msum, mcnt = lax.fori_loop(
+        0,
+        timesteps,
         body,
         (s, keys, jnp.zeros(R, _F), jnp.zeros(R, _F), jnp.zeros(R, _F)),
-        jnp.arange(timesteps),
     )
     return s, keys, esum, msum / jnp.maximum(mcnt, 1.0)
 
 
-@partial(jax.jit, static_argnames=("timesteps", "heatbath"))
+@partial(jax.jit, static_argnames=("heatbath",))
 def run_diagonal_sweeps(ga, p, s, keys, timesteps, heatbath):
-    """Single-site sweeps only (reference run_diagonal analogue)."""
+    """Single-site sweeps only (reference run_diagonal analogue); dynamic t."""
 
-    def body(carry, _):
+    def body(_, carry):
         s, keys = carry
         for c in range(len(ga.c_sites)):
             for parity in (0, 1):
                 keys, sub = split_keys(keys)
                 s = _site_color_update(ga, p, s, sub, c, parity, heatbath)
-        return (s, keys), None
+        return (s, keys)
 
-    (s, keys), _ = lax.scan(body, (s, keys), None, length=timesteps)
+    s, keys = lax.fori_loop(0, timesteps, body, (s, keys))
     return s, keys
 
 

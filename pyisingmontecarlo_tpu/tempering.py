@@ -61,13 +61,20 @@ def batched_graph_arrays(cg: CompiledGraph, jvals: np.ndarray) -> ce.GraphArrays
         c_sites=tuple(jnp.asarray(s, jnp.int32) for s in cg.color_sites),
         c_nbrs=tuple(jnp.asarray(cg.neighbors[s], jnp.int32) for s in cg.color_sites),
         c_j=tuple(jnp.asarray(jm[:, s], _F) for s in cg.color_sites),
-        e_a=tuple(jnp.asarray(cg.edge_a[e], jnp.int32) for e in cg.ecolor_edges),
-        e_b=tuple(jnp.asarray(cg.edge_b[e], jnp.int32) for e in cg.ecolor_edges),
-        e_j=tuple(jnp.asarray(jvals[:, e], _F) for e in cg.ecolor_edges),
-        e_a_nbrs=tuple(jnp.asarray(cg.neighbors[cg.edge_a[e]], jnp.int32) for e in cg.ecolor_edges),
-        e_a_j=tuple(jnp.asarray(jm[:, cg.edge_a[e]], _F) for e in cg.ecolor_edges),
-        e_b_nbrs=tuple(jnp.asarray(cg.neighbors[cg.edge_b[e]], jnp.int32) for e in cg.ecolor_edges),
-        e_b_j=tuple(jnp.asarray(jm[:, cg.edge_b[e]], _F) for e in cg.ecolor_edges),
+        # pair-flip tables need the STRONG edge coloring (see
+        # engines/classical.device_graph; union topology here, so a class
+        # that is strong for the union is strong for every replica overlay)
+        e_a=tuple(jnp.asarray(cg.edge_a[e], jnp.int32) for e in cg.strong_ecolor_edges),
+        e_b=tuple(jnp.asarray(cg.edge_b[e], jnp.int32) for e in cg.strong_ecolor_edges),
+        e_j=tuple(jnp.asarray(jvals[:, e], _F) for e in cg.strong_ecolor_edges),
+        e_a_nbrs=tuple(
+            jnp.asarray(cg.neighbors[cg.edge_a[e]], jnp.int32) for e in cg.strong_ecolor_edges
+        ),
+        e_a_j=tuple(jnp.asarray(jm[:, cg.edge_a[e]], _F) for e in cg.strong_ecolor_edges),
+        e_b_nbrs=tuple(
+            jnp.asarray(cg.neighbors[cg.edge_b[e]], jnp.int32) for e in cg.strong_ecolor_edges
+        ),
+        e_b_j=tuple(jnp.asarray(jm[:, cg.edge_b[e]], _F) for e in cg.strong_ecolor_edges),
     )
 
 
@@ -88,17 +95,46 @@ def _mixed_sweep(ga, p, s, keys, hb_mask, rvb_mask, any_rvb: bool):
     return s, keys
 
 
+def _swap_features(ga, s):
+    """Sufficient statistics of a worldline config for the swap log-weight:
+    per-edge bond products P[R, E] = sum_tau s_a s_b, total spin S[R], and
+    aligned-time-bond count A[R]. log W_r(x_s) is a cheap function of
+    (P_s, S_s, A_s) and replica r's couplings, so one O(R*E*L) feature pass
+    replaces the three full log-weight passes of the round-1 version
+    (VERDICT.md weak item 3)."""
+    sf = s.astype(_F)
+    P = (jnp.take(sf, ga.edge_a, axis=1) * jnp.take(sf, ga.edge_b, axis=1)).sum(-1)
+    S = sf.sum((1, 2))
+    A = (s == jnp.roll(s, -1, axis=2)).sum((1, 2)).astype(_F)
+    return P, S, A
+
+
+def _lw_from_features(ga, p, P, S, A, ntot):
+    """log W_r evaluated on the config whose features are (P, S, A); matches
+    wl.log_weight term for term."""
+    J = ga.edge_j if ga.edge_j.ndim == 2 else ga.edge_j[None]
+    diag = -p.dtau * ((J * P).sum(-1) + p.h * S)
+    a = p.dtau * p.gamma
+    return diag + A * jnp.log(jnp.cosh(a)) + (ntot - A) * jnp.log(jnp.sinh(a))
+
+
 def tempering_swap(ga, p, s, swapkey, phase):
     """One even/odd neighbor-swap phase. Returns (s, swapkey, n_accepted).
 
     Pair (r, r+1) with r % 2 == phase swaps configurations with probability
     min(1, W_r(x_{r+1}) W_{r+1}(x_r) / [W_r(x_r) W_{r+1}(x_{r+1})])
-    (the reference's Metropolis swap, tempering.rs:192; in log space)."""
+    (the reference's Metropolis swap, tempering.rs:192; in log space).
+    Cross weights come from one feature pass + rolled features (per-replica
+    couplings stay put, configurations' features move)."""
     R = s.shape[0]
+    ntot = s.shape[1] * s.shape[2]
     idx = jnp.arange(R)
-    lw_self = wl.log_weight(ga, p, s)
-    lw_up = wl.log_weight(ga, p, jnp.roll(s, -1, axis=0))  # logW_r(x_{r+1})
-    lw_dn = wl.log_weight(ga, p, jnp.roll(s, 1, axis=0))  # logW_r(x_{r-1})
+    P, S, A = _swap_features(ga, s)
+    lw_self = _lw_from_features(ga, p, P, S, A, ntot)
+    up = lambda x: jnp.roll(x, -1, axis=0)
+    dn = lambda x: jnp.roll(x, 1, axis=0)
+    lw_up = _lw_from_features(ga, p, up(P), up(S), up(A), ntot)  # logW_r(x_{r+1})
+    lw_dn = _lw_from_features(ga, p, dn(P), dn(S), dn(A), ntot)  # logW_r(x_{r-1})
     delta = lw_up + jnp.roll(lw_dn, -1, 0) - lw_self - jnp.roll(lw_self, -1, 0)
     leader = ((idx % 2) == phase) & (idx + 1 < R)
     swapkey, sub = jax.random.split(swapkey)
@@ -107,6 +143,42 @@ def tempering_swap(ga, p, s, swapkey, phase):
     acc_follower = jnp.roll(acc_leader, 1, 0) & (idx > 0)
     perm = jnp.where(acc_leader, idx + 1, jnp.where(acc_follower, idx - 1, idx))
     return jnp.take(s, perm, axis=0), swapkey, acc_leader.sum()
+
+
+@partial(jax.jit, static_argnames=("swap_freq", "any_rvb"))
+def run_tempering_nostates(
+    ga, p, s, keys, swapkey, hb_mask, rvb_mask, timesteps, swap_freq, any_rvb, phase0, nswaps0
+):
+    """Like run_tempering but collects no per-sweep states; ``timesteps`` is a
+    traced operand (one compilation serves every sweep count — plain stepping
+    and autocorrelation wait phases call this)."""
+
+    def body(t, carry):
+        s, keys, swapkey, esum, phase, nswaps = carry
+        s, keys = _mixed_sweep(ga, p, s, keys, hb_mask, rvb_mask, any_rvb)
+        esum = esum + wl.total_energy(ga, p, s)
+
+        def do_swap(args):
+            s, swapkey, phase, nswaps = args
+            s, swapkey, nacc = tempering_swap(ga, p, s, swapkey, phase)
+            return s, swapkey, 1 - phase, nswaps + nacc
+
+        s, swapkey, phase, nswaps = lax.cond(
+            (t + 1) % swap_freq == 0,
+            do_swap,
+            lambda args: args,
+            (s, swapkey, phase, nswaps),
+        )
+        return (s, keys, swapkey, esum, phase, nswaps)
+
+    R = s.shape[0]
+    s, keys, swapkey, esum, phase, nswaps = lax.fori_loop(
+        0,
+        timesteps,
+        body,
+        (s, keys, swapkey, jnp.zeros(R, _F), phase0, nswaps0),
+    )
+    return s, keys, swapkey, esum, phase, nswaps
 
 
 @partial(jax.jit, static_argnames=("timesteps", "swap_freq", "any_rvb"))
@@ -272,9 +344,33 @@ class LatticeTempering:
 
     # ------------------------------------------------------------------- runs
 
+    def _run_nostates(self, timesteps: int, swap_freq: Optional[int]):
+        """Stepping without per-sweep state collection (dynamic sweep count:
+        no recompile when t changes). Returns esum[R]."""
+        m = self._materialize()
+        sf = int(swap_freq) if swap_freq else 2**31 - 1  # never
+        s, keys, swapkey, esum, phase, nswaps = run_tempering_nostates(
+            m["ga"],
+            m["p"],
+            m["s"],
+            m["keys"],
+            self._swapkey,
+            m["hb_mask"],
+            m["rvb_mask"],
+            int(timesteps),
+            sf,
+            m["any_rvb"],
+            m["phase"],
+            jnp.int32(0),
+        )
+        m["s"], m["keys"], m["phase"] = s, keys, phase
+        self._swapkey = swapkey
+        self.total_swaps += int(nswaps)
+        return esum
+
     def _run(self, timesteps: int, swap_freq: Optional[int]):
         m = self._materialize()
-        sf = int(swap_freq) if swap_freq else max(int(timesteps), 1) + 1  # never
+        sf = int(swap_freq) if swap_freq else 2**31 - 1  # never
         s, keys, swapkey, esum, states, phase, nswaps = run_tempering(
             m["ga"],
             m["p"],
@@ -296,7 +392,7 @@ class LatticeTempering:
 
     def qmc_timesteps(self, t: int) -> None:
         """tempering.rs:150-152 — parallel sweeps, no swaps."""
-        self._run(int(t), None)
+        self._run_nostates(int(t), None)
 
     def qmc_timesteps_sample(
         self,
@@ -334,7 +430,7 @@ class LatticeTempering:
         swap_freq = int(replica_swap_freq) if replica_swap_freq else 1
         freq = int(sampling_freq) if sampling_freq else 1
         if wait:
-            self._run(wait, swap_freq)
+            self._run_nostates(wait, swap_freq)
         _, states = self._run(int(timesteps), swap_freq)
         # states are int8 +-1 spins (NOT bool): compare to +1 explicitly —
         # -1 is truthy, so np.where(states, ...) would map both signs to +1
