@@ -104,6 +104,17 @@ def device_graph(cg: CompiledGraph) -> GraphArrays:
     )
 
 
+def importance_weights(cg: CompiledGraph):
+    """Per-edge-color attempt probabilities for importance-sampled edge moves
+    (``enable_edge_importance_sampling``, lattice.rs:200): w_e = |J_e| / max|J|
+    clamped to [0.05, 1] so zero-coupling edges are still occasionally tried.
+    Returns a tuple of [Ec] f32 arrays aligned with GraphArrays.e_a."""
+    mj = np.abs(np.asarray(cg.edge_j, np.float64))
+    top = float(mj.max()) if mj.size else 1.0
+    w = np.clip(mj / top, 0.05, 1.0) if top > 0 else np.ones_like(mj)
+    return tuple(jnp.asarray(w[e], _F) for e in cg.strong_ecolor_edges)
+
+
 def energy(ga: GraphArrays, bias: jax.Array, s: jax.Array) -> jax.Array:
     """E[r] = sum_e J_e s_a s_b + sum_i h_i s_i (reference convention)."""
     sf = s.astype(_F)
@@ -154,7 +165,17 @@ def _spin_color_update(ga, bias, s, subkeys, beta, c: int, heatbath: bool):
     return s.at[:, sites].set(jnp.where(acc, -si, si))
 
 
-def _edge_color_update(ga, bias, s, subkeys, beta, c: int, heatbath: bool):
+def _edge_color_update(ga, bias, s, subkeys, beta, c: int, heatbath: bool, iw=None):
+    """Pair flip over each edge of edge-color class c. ``iw`` (None, [Ec], or
+    [R, Ec] f32 in (0, 1]) enables importance-sampled attempts: each edge is
+    attempted with probability iw_e (state-independent, hence a symmetric
+    proposal — Glauber acceptance stays exact). This is the TPU analogue of
+    the reference's ``enable_edge_importance_sampling`` (lattice.rs:200,
+    SURVEY.md §2.3: 'importance sampling weights edge-flip attempts by energy
+    cost'): attempt frequency follows coupling magnitude |J_e|, so strong
+    (energetically dominant) bonds are worked proportionally harder on
+    heterogeneous graphs. On uniform-J graphs the weights are all 1 and the
+    move reduces to the plain sweep."""
     a, b, j = ga.e_a[c], ga.e_b[c], ga.e_j[c]
     R = s.shape[0]
     sa = jnp.take(s, a, axis=1).astype(_F)
@@ -169,8 +190,14 @@ def _edge_color_update(ga, bias, s, subkeys, beta, c: int, heatbath: bool):
         - 2.0 * sb * (Bb + bias[b][None])
         + 4.0 * j[None] * sa * sb
     )
-    u = _uniform_per_replica(subkeys, (a.shape[0],))
+    if iw is None:
+        u = _uniform_per_replica(subkeys, (a.shape[0],))
+    else:
+        u2 = _uniform_per_replica(subkeys, (a.shape[0], 2))
+        u = u2[..., 0]
     acc = _accept(u, dE, beta, True)  # Glauber (see _spin_color_update)
+    if iw is not None:
+        acc = acc & (u2[..., 1] < (iw if iw.ndim == 2 else iw[None]))
     sia = jnp.take(s, a, axis=1)
     sib = jnp.take(s, b, axis=1)
     s = s.at[:, a].set(jnp.where(acc, -sia, sia))
@@ -286,8 +313,11 @@ def time_step(
     heatbath: bool,
     wlen: int,
     nclusters: int = 0,
+    iw=None,
 ):
-    """One reference 'time step' (GraphState::do_time_step analogue)."""
+    """One reference 'time step' (GraphState::do_time_step analogue).
+    ``iw`` (None or per-color attempt-probability arrays) importance-samples
+    the edge moves (see _edge_color_update)."""
     for _ in range(nspin_sweeps):
         for c in range(len(ga.c_sites)):
             keys, sub = split_keys(keys)
@@ -296,7 +326,10 @@ def time_step(
         for _ in range(nedge_sweeps):
             for c in range(len(ga.e_a)):
                 keys, sub = split_keys(keys)
-                s = _edge_color_update(ga, bias, s, sub, beta, c, heatbath)
+                s = _edge_color_update(
+                    ga, bias, s, sub, beta, c, heatbath,
+                    iw=None if iw is None else iw[c],
+                )
         for _ in range(nworms):
             keys, sub = split_keys(keys)
             s = _worm_update(ga, bias, s, sub, beta, wlen, heatbath)
@@ -314,7 +347,7 @@ def time_step(
 )
 def run_steps(
     ga, bias, s, keys, beta_arr, nspin_sweeps, nedge_sweeps, nworms, only_basic, heatbath, wlen,
-    nclusters=0,
+    nclusters=0, iw=None,
 ):
     """Run len(beta_arr) time steps; beta may vary per step (annealing)."""
 
@@ -322,7 +355,7 @@ def run_steps(
         s, keys = carry
         s, keys = time_step(
             ga, bias, s, keys, beta, nspin_sweeps, nedge_sweeps, nworms, only_basic, heatbath,
-            wlen, nclusters,
+            wlen, nclusters, iw,
         )
         return (s, keys), None
 
@@ -338,7 +371,7 @@ def run_steps(
 )
 def run_steps_energies(
     ga, bias, s, keys, beta_arr, nspin_sweeps, nedge_sweeps, nworms, only_basic, heatbath, wlen,
-    nclusters=0,
+    nclusters=0, iw=None,
 ):
     """Like run_steps but records the energy after every time step."""
 
@@ -346,7 +379,7 @@ def run_steps_energies(
         s, keys = carry
         s, keys = time_step(
             ga, bias, s, keys, beta, nspin_sweeps, nedge_sweeps, nworms, only_basic, heatbath,
-            wlen, nclusters,
+            wlen, nclusters, iw,
         )
         return (s, keys), energy(ga, bias, s)
 
@@ -383,6 +416,7 @@ def run_sampling(
     heatbath,
     wlen,
     nclusters=0,
+    iw=None,
 ):
     """timesteps steps at fixed beta, recording (energy, state) after every
     sampling_freq-th step. Returns (s, keys, energies[R, t//freq],
@@ -394,7 +428,7 @@ def run_sampling(
         beta_arr = jnp.full((sampling_freq,), beta, _F)
         s, keys = run_steps(
             ga, bias, s, keys, beta_arr, nspin_sweeps, nedge_sweeps, nworms, only_basic, heatbath,
-            wlen, nclusters,
+            wlen, nclusters, iw,
         )
         return (s, keys), (energy(ga, bias, s), s)
 
@@ -404,6 +438,6 @@ def run_sampling(
         beta_arr = jnp.full((rem,), beta, _F)
         s, keys = run_steps(
             ga, bias, s, keys, beta_arr, nspin_sweeps, nedge_sweeps, nworms, only_basic, heatbath,
-            wlen, nclusters,
+            wlen, nclusters, iw,
         )
     return s, keys, es.T, jnp.swapaxes(ss, 0, 1)

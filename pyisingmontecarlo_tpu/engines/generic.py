@@ -52,6 +52,7 @@ import numpy as np
 from jax import lax
 
 from ..rng import split_keys
+from ..utils.accum import kadd, kfinal, kzero
 from .classical import _uniform_per_replica
 
 __all__ = ["TermSet", "GenericWorldline", "expm", "DEFAULT_DTAU"]
@@ -523,10 +524,10 @@ def run_sweeps(comp, s, keys, timesteps, ltau, do_loop, offset):
     def body(carry, _):
         s, keys, esum = carry
         s, keys = sweep(comp, s, keys, ltau, do_loop)
-        return (s, keys, esum + total_energy(comp, s, ltau, offset)), None
+        return (s, keys, kadd(esum, total_energy(comp, s, ltau, offset))), None
 
     (s, keys, esum), _ = lax.scan(
-        body, (s, keys, jnp.zeros(s.shape[0], _F)), None, length=timesteps
+        body, (s, keys, kzero(s.shape[0])), None, length=timesteps
     )
     return s, keys, esum
 
@@ -538,16 +539,16 @@ def run_sweeps_sample(comp, s, keys, timesteps, sampling_freq, ltau, do_loop, of
         s, keys, esum = carry
         for _ in range(sampling_freq):
             s, keys = sweep(comp, s, keys, ltau, do_loop)
-            esum = esum + total_energy(comp, s, ltau, offset)
+            esum = kadd(esum, total_energy(comp, s, ltau, offset))
         return (s, keys, esum), s[:, :, 0]
 
     (s, keys, esum), samples = lax.scan(
-        block, (s, keys, jnp.zeros(s.shape[0], _F)), None, length=nsamples
+        block, (s, keys, kzero(s.shape[0])), None, length=nsamples
     )
     rem = timesteps - nsamples * sampling_freq
     for _ in range(rem):
         s, keys = sweep(comp, s, keys, ltau, do_loop)
-        esum = esum + total_energy(comp, s, ltau, offset)
+        esum = kadd(esum, total_energy(comp, s, ltau, offset))
     return s, keys, esum, jnp.swapaxes(samples, 0, 1)
 
 
@@ -558,11 +559,11 @@ def run_sweeps_bond_sample(comp, s, keys, timesteps, sampling_freq, ltau, do_loo
         s, keys, esum = carry
         for _ in range(sampling_freq):
             s, keys = sweep(comp, s, keys, ltau, do_loop)
-            esum = esum + total_energy(comp, s, ltau, offset)
+            esum = kadd(esum, total_energy(comp, s, ltau, offset))
         return (s, keys, esum), term_op_counts(comp, s, ltau, beta, offsets_t)
 
     (s, keys, esum), samples = lax.scan(
-        block, (s, keys, jnp.zeros(s.shape[0], _F)), None, length=nsamples
+        block, (s, keys, kzero(s.shape[0])), None, length=nsamples
     )
     return s, keys, esum, jnp.swapaxes(samples, 0, 1)
 
@@ -622,14 +623,14 @@ class GenericWorldline:
             self.s, self.keys, timesteps=int(t), ltau=self.ltau,
             do_loop=self.do_loop, offset=jnp.float32(self.ts.offset),
         )
-        return np.asarray(esum, np.float64) / t
+        return kfinal(esum) / t
 
     def timesteps_sample(self, t: int, freq: int):
         self.s, self.keys, esum, samples = self._jit_sample(
             self.s, self.keys, timesteps=int(t), sampling_freq=int(freq),
             ltau=self.ltau, do_loop=self.do_loop, offset=jnp.float32(self.ts.offset),
         )
-        return np.asarray(esum, np.float64) / max(t, 1), np.asarray(samples == 1)
+        return kfinal(esum) / max(t, 1), np.asarray(samples == 1)
 
     def bond_sample(self, t: int, freq: int):
         self.s, self.keys, esum, samples = self._jit_bond(
@@ -639,7 +640,7 @@ class GenericWorldline:
             offsets_t=jnp.asarray(self.offsets_t), beta=jnp.float32(self.beta),
         )
         counts = np.maximum(np.rint(np.asarray(samples, np.float64)), 0).astype(np.int64)
-        return np.asarray(esum, np.float64) / max(t, 1), counts
+        return kfinal(esum) / max(t, 1), counts
 
     def itime_states(self, g: int) -> np.ndarray:
         return np.asarray(self.s[g].T == 1)

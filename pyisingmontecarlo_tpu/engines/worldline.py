@@ -50,6 +50,7 @@ from jax import lax
 
 from ..graph import CompiledGraph
 from ..rng import split_keys
+from ..utils.accum import kadd, kfinal, kzero
 from .classical import GraphArrays, device_graph, _accept, _uniform_per_replica
 
 __all__ = ["WorldlineEnsemble", "choose_ltau", "DEFAULT_DTAU"]
@@ -326,10 +327,13 @@ def _single_cluster_step(ga, p: WlParams, s, subkeys):
     return s.at[r_idx, i0].set(line), size
 
 
-def _edge_worldline_update(ga, p: WlParams, s, subkeys, c: int, heatbath: bool):
+def _edge_worldline_update(ga, p: WlParams, s, subkeys, c: int, heatbath: bool,
+                           active=None):
     """Whole-worldline pair flip over each edge of edge-color class c
     (the reference's RVB/semiclassical family analogue: a spatially non-local
-    move that preserves all time-kinks). Returns (s, successes, attempts)."""
+    move that preserves all time-kinks). ``active`` (static bool[Ec] or None)
+    masks out edges beyond a requested attempt budget. Returns
+    (s, successes, attempts)."""
     a, b, j = ga.e_a[c], ga.e_b[c], ga.e_j[c]
     R, _, L = s.shape
     sa = jnp.take(s, a, axis=1).astype(_F)  # [R, Ec, L]
@@ -345,11 +349,15 @@ def _edge_worldline_update(ga, p: WlParams, s, subkeys, c: int, heatbath: bool):
     ).sum(-1)  # [R, Ec]
     u = _uniform_per_replica(subkeys, (a.shape[0],))
     acc = _accept(u, dE, 1.0, True)  # Glauber: parallel colored family
+    nattempt = acc.shape[-1]
+    if active is not None:
+        acc = acc & jnp.asarray(active)[None]
+        nattempt = int(np.sum(active))
     sia = jnp.take(s, a, axis=1)
     sib = jnp.take(s, b, axis=1)
     s = s.at[:, a].set(jnp.where(acc[..., None], -sia, sia))
     s = s.at[:, b].set(jnp.where(acc[..., None], -sib, sib))
-    return s, acc.sum(-1), acc.shape[-1]
+    return s, acc.sum(-1), nattempt
 
 
 def sweep(ga, p: WlParams, s, keys, heatbath: bool, do_cluster: bool, do_rvb: bool,
@@ -454,10 +462,10 @@ def run_sweeps(ga, p, s, keys, timesteps, heatbath, do_cluster, do_rvb, dense=No
     def body(_, carry):
         s, keys, esum = carry
         s, keys = sweep(ga, p, s, keys, heatbath, do_cluster, do_rvb, dense)
-        return (s, keys, esum + total_energy(ga, p, s))
+        return (s, keys, kadd(esum, total_energy(ga, p, s)))
 
     s, keys, esum = lax.fori_loop(
-        0, timesteps, body, (s, keys, jnp.zeros(s.shape[0], _F))
+        0, timesteps, body, (s, keys, kzero(s.shape[0]))
     )
     return s, keys, esum
 
@@ -476,16 +484,16 @@ def run_sweeps_sample(ga, p, s, keys, timesteps, sampling_freq, heatbath, do_clu
         s, keys, esum = carry
         for _ in range(sampling_freq):
             s, keys = sweep(ga, p, s, keys, heatbath, do_cluster, do_rvb, dense)
-            esum = esum + total_energy(ga, p, s)
+            esum = kadd(esum, total_energy(ga, p, s))
         return (s, keys, esum), s[:, :, 0]
 
     (s, keys, esum), samples = lax.scan(
-        block, (s, keys, jnp.zeros(s.shape[0], _F)), None, length=nsamples
+        block, (s, keys, kzero(s.shape[0])), None, length=nsamples
     )
     rem = timesteps - nsamples * sampling_freq
     for _ in range(rem):
         s, keys = sweep(ga, p, s, keys, heatbath, do_cluster, do_rvb, dense)
-        esum = esum + total_energy(ga, p, s)
+        esum = kadd(esum, total_energy(ga, p, s))
     return s, keys, esum, jnp.swapaxes(samples, 0, 1)
 
 
@@ -501,11 +509,11 @@ def run_sweeps_bond_sample(ga, p, s, keys, timesteps, sampling_freq, heatbath, d
         s, keys, esum = carry
         for _ in range(sampling_freq):
             s, keys = sweep(ga, p, s, keys, heatbath, do_cluster, do_rvb, dense)
-            esum = esum + total_energy(ga, p, s)
+            esum = kadd(esum, total_energy(ga, p, s))
         return (s, keys, esum), bond_op_counts(ga, p, s)
 
     (s, keys, esum), samples = lax.scan(
-        block, (s, keys, jnp.zeros(s.shape[0], _F)), None, length=nsamples
+        block, (s, keys, kzero(s.shape[0])), None, length=nsamples
     )
     return s, keys, esum, jnp.swapaxes(samples, 0, 1)
 
@@ -523,11 +531,11 @@ def run_sweeps_measure(ga, p, s, keys, timesteps, sampling_freq_arr, down, up, e
     def body(t, carry):
         s, keys, esum, msum, mcnt = carry
         s, keys = sweep(ga, p, s, keys, heatbath, do_cluster, do_rvb, dense)
-        esum = esum + total_energy(ga, p, s)
+        esum = kadd(esum, total_energy(ga, p, s))
         sf = s[:, :, 0].astype(_F)
         m = jnp.where(sf > 0, up, down).sum(-1) ** exponent
         take = (t % sampling_freq_arr) == 0
-        msum = msum + jnp.where(take, m, 0.0)
+        msum = kadd(msum, jnp.where(take, m, 0.0))
         mcnt = mcnt + jnp.where(take, 1.0, 0.0)
         return (s, keys, esum, msum, mcnt)
 
@@ -536,9 +544,9 @@ def run_sweeps_measure(ga, p, s, keys, timesteps, sampling_freq_arr, down, up, e
         0,
         timesteps,
         body,
-        (s, keys, jnp.zeros(R, _F), jnp.zeros(R, _F), jnp.zeros(R, _F)),
+        (s, keys, kzero(R), kzero(R), jnp.zeros(R, _F)),
     )
-    return s, keys, esum, msum / jnp.maximum(mcnt, 1.0)
+    return s, keys, esum, msum, jnp.maximum(mcnt, 1.0)
 
 
 @partial(jax.jit, static_argnames=("heatbath",))
@@ -567,24 +575,65 @@ def run_single_cluster(ga, p, s, keys):
 @partial(jax.jit, static_argnames=("timesteps", "updates_per_sweep", "heatbath"))
 def run_rvb_sweeps(ga, p, s, keys, timesteps, updates_per_sweep, heatbath):
     """Worldline pair-flip sweeps; returns per-sweep success ratios [R, t]
-    (reference run_rvb analogue, qmcising.rs:168-190)."""
+    (reference run_rvb analogue, qmcising.rs:168-190).
+
+    The reference's single_rvb_sweep makes EXACTLY ``updates_per_sweep``
+    attempts per sweep; round 1 rounded attempts up to whole edge-color
+    passes (VERDICT.md weak item 8). Passes beyond the requested count are
+    now masked at trace time (static per-(pass, color) edge masks), so the
+    denominator is exactly ``updates_per_sweep``."""
     necolors = len(ga.e_a)
-    reps = max(1, -(-updates_per_sweep // max(1, sum(int(x.shape[0]) for x in ga.e_a))))
+    sizes = [int(x.shape[0]) for x in ga.e_a]
+    total = max(1, sum(sizes))
+    ups = max(1, int(updates_per_sweep))
+    reps = -(-ups // total)
+    masks = []  # static numpy masks: first `remaining` edges of the cut pass
+    remaining = ups
+    for _ in range(reps):
+        for c in range(necolors):
+            k = min(sizes[c], remaining)
+            m = np.zeros(sizes[c], bool)
+            m[:k] = True
+            masks.append(None if k == sizes[c] else m)
+            remaining -= k
 
     def body(carry, _):
         s, keys = carry
         succ = jnp.zeros(s.shape[0], _F)
-        att = 0.0
+        mi = 0
         for _ in range(reps):
             for c in range(necolors):
                 keys, sub = split_keys(keys)
-                s, ns, na = _edge_worldline_update(ga, p, s, sub, c, heatbath)
+                s, ns, _ = _edge_worldline_update(
+                    ga, p, s, sub, c, heatbath, active=masks[mi]
+                )
                 succ = succ + ns.astype(_F)
-                att = att + na
-        return (s, keys), succ / att
+                mi += 1
+        return (s, keys), succ / ups
 
     (s, keys), ratios = lax.scan(body, (s, keys), None, length=timesteps)
     return s, keys, jnp.swapaxes(ratios, 0, 1)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("timesteps", "sampling_freq", "heatbath", "do_cluster", "do_rvb", "dense"),
+)
+def run_sweeps_opcounts(ga, p, s, keys, timesteps, sampling_freq, heatbath,
+                        do_cluster, do_rvb, dense=None):
+    """Sample (diagonal energy, kink count) every sampling_freq sweeps, all on
+    device (replaces the round-1 host loop, VERDICT.md weak item 9). Returns
+    (s, keys, mean_diag_energy[R], mean_kinks[R])."""
+    nsamples = max(timesteps // sampling_freq, 1)
+
+    def block(carry, _):
+        s, keys = carry
+        for _ in range(sampling_freq):
+            s, keys = sweep(ga, p, s, keys, heatbath, do_cluster, do_rvb, dense)
+        return (s, keys), (diagonal_energy(ga, p, s), kink_count(s).astype(_F))
+
+    (s, keys), (eds, kks) = lax.scan(block, (s, keys), None, length=nsamples)
+    return s, keys, eds.mean(0), kks.mean(0)
 
 
 # ---------------------------------------------------------------- host wrapper
@@ -630,6 +679,17 @@ class WorldlineEnsemble:
         self.dense = (
             detect_dense(cg) if os.environ.get("PMC_WORLDLINE_DENSE") else None
         )
+        # fused Pallas sweep kernel for uniform rings/tori on a real TPU
+        # (ops/wl_pallas.py): VMEM-resident worldline plane, hardware PRNG,
+        # segmented-scan FK clusters. Statistically identical update
+        # composition; opt out with PMC_WORLDLINE_NO_PALLAS=1.
+        self._pallas_dense = None
+        if not os.environ.get("PMC_WORLDLINE_NO_PALLAS"):
+            from ..ops import wl_pallas as wp
+
+            d = detect_dense(cg)
+            if wp.supported(d, cg.nvars, self.L):
+                self._pallas_dense = d
         self.p = make_params(
             np.full(self.R, self.beta), self.gamma, self.h, self.L
         )
@@ -660,17 +720,28 @@ class WorldlineEnsemble:
         QmcIsingGraph::timesteps contract)."""
         if t == 0:
             return np.asarray(total_energy(self.ga, self.p, self.s), np.float64)
+        if self._pallas_dense is not None and not self.enable_rvb:
+            from ..ops import wl_pallas as wp
+            from ..ops.lattice2d import _pallas_seeds
+            from ..rng import fold_all
+
+            self.s, esum = wp.run_wl_sweeps_pallas(
+                self.s, _pallas_seeds(self.keys), int(t), self._pallas_dense,
+                self.beta, self.gamma, self.h, self.L,
+            )
+            self.keys = fold_all(self.keys, int(t))
+            return esum / t
         self.s, self.keys, esum = run_sweeps(
             self.ga, self.p, self.s, self.keys, int(t), **self._flags()
         )
-        return np.asarray(esum, np.float64) / t
+        return kfinal(esum) / t
 
     def timesteps_sample(self, t: int, freq: int):
         self.s, self.keys, esum, samples = run_sweeps_sample(
             self.ga, self.p, self.s, self.keys, int(t), int(freq), **self._flags()
         )
         return (
-            np.asarray(esum, np.float64) / max(t, 1),
+            kfinal(esum) / max(t, 1),
             np.asarray(samples == 1),
         )
 
@@ -679,10 +750,10 @@ class WorldlineEnsemble:
             self.ga, self.p, self.s, self.keys, int(t), int(freq), **self._flags()
         )
         counts = np.maximum(np.rint(np.asarray(samples, np.float64)), 0).astype(np.int64)
-        return np.asarray(esum, np.float64) / max(t, 1), counts
+        return kfinal(esum) / max(t, 1), counts
 
     def measure_spins(self, t: int, freq: int, down: float, up: float, exponent: int):
-        self.s, self.keys, esum, meas = run_sweeps_measure(
+        self.s, self.keys, esum, msum, mcnt = run_sweeps_measure(
             self.ga,
             self.p,
             self.s,
@@ -694,7 +765,8 @@ class WorldlineEnsemble:
             int(exponent),
             **self._flags(),
         )
-        return np.asarray(meas, np.float64), np.asarray(esum, np.float64) / max(t, 1)
+        meas = kfinal(msum) / np.asarray(mcnt, np.float64)
+        return meas, kfinal(esum) / max(t, 1)
 
     def diagonal_sweeps(self, t: int):
         self.s, self.keys = run_diagonal_sweeps(
@@ -755,18 +827,11 @@ class WorldlineEnsemble:
         replicas (average_on_and_off_diagonal_and_consts analogue):
         diag = beta*(sum_b |J_b| + sum_i |h| - E_diag), offdiag = kink count,
         const = beta*Gamma*nvars (exact in SSE, see module docstring)."""
-        nsamples = max(t // freq, 1)
-        diags, offs = [], []
-        for _ in range(nsamples):
-            self.s, self.keys, _ = run_sweeps(
-                self.ga, self.p, self.s, self.keys, int(freq), **self._flags()
-            )
-            ed = np.asarray(diagonal_energy(self.ga, self.p, self.s), np.float64)
-            kk = np.asarray(kink_count(self.s), np.float64)
-            diags.append(ed)
-            offs.append(kk)
+        self.s, self.keys, eds, kks = run_sweeps_opcounts(
+            self.ga, self.p, self.s, self.keys, int(t), int(freq), **self._flags()
+        )
         cmax = float(np.abs(self.cg.edge_j).sum() + self.cg.nvars * abs(self.h))
-        diag = self.beta * (cmax - np.mean(diags))
-        off = float(np.mean(offs))
+        diag = self.beta * (cmax - float(np.asarray(eds, np.float64).mean()))
+        off = float(np.asarray(kks, np.float64).mean())
         const = self.beta * self.gamma * self.cg.nvars
         return float(diag), off, const

@@ -207,7 +207,7 @@ class Lattice:
                 "Cannot run classic monte carlo with transverse field set"
             )
 
-    def _move_args(self, only_basic_moves):
+    def _move_args(self, only_basic_moves, importance=None):
         only_basic = bool(only_basic_moves) if only_basic_moves is not None else False
         return dict(
             nspin_sweeps=1,
@@ -217,6 +217,9 @@ class Lattice:
             heatbath=self.enable_heatbath,
             wlen=min(self.nvars, _DEF_WLEN),
             nclusters=1 if (self.enable_cluster and not only_basic) else 0,
+            # importance-sampled edge-move attempts (lattice.rs:200): attempt
+            # probability follows |J_e| (see engines/classical.importance_weights)
+            iw=ce.importance_weights(self.cg) if (importance and not only_basic) else None,
         )
 
     def _anneal_schedule(self, betas, timesteps: int) -> np.ndarray:
@@ -244,10 +247,11 @@ class Lattice:
     ):
         """lattice.rs:171-221 -> (energies[n] f64, states[n, nvars] bool).
 
-        ``edge_move_importance_sampling`` (lattice.rs:200) biased the
-        reference's edge-flip *proposal* distribution; our edge-colored sweep
-        attempts every edge with exact Metropolis acceptance, which samples the
-        same distribution, so the flag is accepted without changing dynamics.
+        ``edge_move_importance_sampling`` (lattice.rs:200) biases edge-move
+        attempt frequency by coupling magnitude (exact: the proposal is
+        state-independent, see engines/classical._edge_color_update). On
+        uniform-J graphs — including the fused-torus fast path — all weights
+        are 1 and the flag is a no-op by construction.
         """
         self._check_classical()
         beta_arr = jnp.full(int(timesteps), float(beta), jnp.float32)
@@ -263,7 +267,10 @@ class Lattice:
         ga = self._graph_arrays()
         bias = jnp.asarray(self._bias_vector(), jnp.float32)
         s0, keys = self._classical_setup(num_experiments)
-        s, _ = ce.run_steps(ga, bias, s0, keys, beta_arr, **self._move_args(only_basic_moves))
+        s, _ = ce.run_steps(
+            ga, bias, s0, keys, beta_arr,
+            **self._move_args(only_basic_moves, edge_move_importance_sampling),
+        )
         es = ce.energy(ga, bias, s)
         return np.asarray(es, np.float64), np.asarray(s == 1)
 
@@ -298,7 +305,7 @@ class Lattice:
         ga = self._graph_arrays()
         bias = jnp.asarray(self._bias_vector(), jnp.float32)
         s0, keys = self._classical_setup(num_experiments)
-        margs = self._move_args(only_basic_moves)
+        margs = self._move_args(only_basic_moves, edge_move_importance_sampling)
         therm = int(thermalization_time or 0)
         freq = int(sampling_freq) if sampling_freq else 1
         if therm:
@@ -332,7 +339,10 @@ class Lattice:
         ga = self._graph_arrays()
         bias = jnp.asarray(self._bias_vector(), jnp.float32)
         s0, keys = self._classical_setup(num_experiments)
-        s, _ = ce.run_steps(ga, bias, s0, keys, beta_arr, **self._move_args(only_basic_moves))
+        s, _ = ce.run_steps(
+            ga, bias, s0, keys, beta_arr,
+            **self._move_args(only_basic_moves, edge_move_importance_sampling),
+        )
         es = ce.energy(ga, bias, s)
         return np.asarray(es, np.float64), np.asarray(s == 1)
 
@@ -360,7 +370,8 @@ class Lattice:
         s0, keys = self._classical_setup(num_experiments)
         beta_arr = jnp.asarray(self._anneal_schedule(betas, int(timesteps)), jnp.float32)
         s, _, es = ce.run_steps_energies(
-            ga, bias, s0, keys, beta_arr, **self._move_args(only_basic_moves)
+            ga, bias, s0, keys, beta_arr,
+            **self._move_args(only_basic_moves, edge_move_importance_sampling),
         )
         return np.asarray(es, np.float64), np.asarray(s == 1)
 

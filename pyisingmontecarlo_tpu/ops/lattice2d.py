@@ -139,6 +139,25 @@ def _sampling_2d_xla(s, keys, beta, j, h, timesteps, sampling_freq):
     return s, keys, es.T, jnp.swapaxes(ss, 0, 1)
 
 
+@jax.jit
+def _energies_from_samples(ss, j, h):
+    """energy_2d over a [R, T, L, L] int8 sample stack -> [R, T].
+
+    Scans one sample slice at a time (a full-stack f32 materialization OOMs
+    at 1024^2 x 256 samples) and reduces bond/spin sums in int32 — exact for
+    L^2 < 2^24, so the final f32 energy has only the two j/h multiplies'
+    rounding."""
+
+    def one(st):  # [R, L, L] int8
+        bonds = (st * jnp.roll(st, -1, axis=1)).sum((1, 2), dtype=jnp.int32) + (
+            st * jnp.roll(st, -1, axis=2)
+        ).sum((1, 2), dtype=jnp.int32)
+        spins = st.sum((1, 2), dtype=jnp.int32)
+        return j * bonds.astype(_F) + h * spins.astype(_F)
+
+    return lax.map(one, jnp.moveaxis(ss, 1, 0)).T
+
+
 def run_sampling_2d(s, keys, beta, j, h, timesteps, sampling_freq):
     from . import sq2d_pallas as sp
 
@@ -149,20 +168,18 @@ def run_sampling_2d(s, keys, beta, j, h, timesteps, sampling_freq):
     from ..rng import fold_all
 
     nsamples = timesteps // sampling_freq
-    es, ss = [], []
-    for k in range(nsamples):
-        beta_arr = jnp.full(sampling_freq, beta, jnp.float32)
-        s, keys = run_steps_2d(s, keys, beta_arr, j, h)
-        es.append(energy_2d(s, jnp.float32(j), jnp.float32(h)))
-        ss.append(s)
     rem = timesteps - nsamples * sampling_freq
-    if rem:
-        s, keys = run_steps_2d(s, keys, jnp.full(rem, beta, jnp.float32), j, h)
-    if nsamples:
-        es = jnp.stack(es, axis=1)
-        ss = jnp.stack(ss, axis=1)
-    else:
+    if nsamples == 0:
+        if rem:
+            s, keys = run_steps_2d(s, keys, jnp.full(rem, beta, jnp.float32), j, h)
         R = s.shape[0]
-        es = jnp.zeros((R, 0), _F)
-        ss = jnp.zeros((R, 0) + s.shape[1:], _S)
+        return s, keys, jnp.zeros((R, 0), _F), jnp.zeros((R, 0) + s.shape[1:], _S)
+    # fused kernel: all sample blocks in ONE dispatch, states staged to HBM
+    # on device (round 1 paid ~ms of dispatch per sample block)
+    s, ss = sp.run_sampling_2d_pallas(
+        s, _pallas_seeds(keys), float(beta), float(j), float(h),
+        sampling_freq, nsamples, rem,
+    )
+    keys = fold_all(keys, timesteps)
+    es = _energies_from_samples(ss, jnp.float32(j), jnp.float32(h))
     return s, keys, es, ss

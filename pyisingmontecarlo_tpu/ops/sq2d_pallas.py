@@ -37,20 +37,31 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["run_steps_2d_pallas", "supported", "pack_checkerboard", "unpack_checkerboard"]
+__all__ = [
+    "run_steps_2d_pallas",
+    "run_sampling_2d_pallas",
+    "supported",
+    "pack_checkerboard",
+    "unpack_checkerboard",
+]
 
 _STRIP = 256  # rows per strip
 
 
 def supported(L: int = 0) -> bool:
-    """Pallas TPU path: real TPU backend and a packable lattice size."""
+    """Pallas TPU path: real TPU backend and a packable lattice size.
+
+    L >= 32 with L % 8 == 0: strips fetch 8-row halo blocks, and Mosaic
+    handles packed widths below the 128-lane tile by masking (round-1 gate
+    required W % 128 == 0, silently dropping 64^2-128^2 production sizes to
+    XLA — VERDICT.md weak item 7)."""
     try:
         plat = jax.devices()[0].platform
     except Exception:
         return False
     if plat in ("cpu", "gpu"):
         return False
-    return L == 0 or (L % 8 == 0 and L // 2 % 128 == 0)
+    return L == 0 or (L % 8 == 0 and L >= 32)
 
 
 def pack_checkerboard(s):
@@ -65,11 +76,13 @@ def pack_checkerboard(s):
 
 
 def unpack_checkerboard(E, O):
-    R, L, W = E.shape
-    row_even = (jnp.arange(L) % 2 == 0)[None, :, None]
+    """Inverse of pack_checkerboard over the trailing [L, W] dims (any
+    leading batch dims: [R, L, W] states or [R, T, L, W] sample stacks)."""
+    L, W = E.shape[-2], E.shape[-1]
+    row_even = (jnp.arange(L) % 2 == 0)[:, None]
     p0 = jnp.where(row_even, E, O)
     p1 = jnp.where(row_even, O, E)
-    return jnp.stack([p0, p1], axis=-1).reshape(R, L, 2 * W)
+    return jnp.stack([p0, p1], axis=-1).reshape(*E.shape[:-1], 2 * W)
 
 
 def _dE_values(j: float, h: float) -> np.ndarray:
@@ -82,16 +95,14 @@ def _dE_values(j: float, h: float) -> np.ndarray:
     return out
 
 
-def _kernel(
-    seeds_ref, dE_ref, beta_ref, e_in, o_in, e_out, o_out, eS, oS, *, nsweeps: int, blen: int
-):
-    r = pl.program_id(0)
-    pltpu.prng_seed(seeds_ref[r])
-    L, W = e_in.shape[1], e_in.shape[2]
+def _sweep_fns(dE_ref, eS, oS):
+    """Shared sweep machinery over the VMEM color planes eS/oS [L, W] int32.
+
+    Returns (thresholds, full_sweep): thresholds(beta) -> 10 scalar tables,
+    full_sweep(ts) runs one checkerboard sweep (both phases, in row strips)."""
+    L, W = eS.shape
     S = _STRIP if L % _STRIP == 0 else L
     nstrips = L // S
-    eS[:] = e_in[0].astype(jnp.int32)
-    oS[:] = o_in[0].astype(jnp.int32)
     rowp = jax.lax.broadcasted_iota(jnp.int32, (S, W), 0) % 2  # S even: same per strip
 
     def thresholds(beta):
@@ -138,16 +149,73 @@ def _kernel(
         acc = rb31 <= select_thr(ts, rows, B)
         upd[pl.ds(base, S), :] = jnp.where(acc, -rows, rows)
 
+    def full_sweep(ts):
+        jax.lax.fori_loop(0, nstrips, lambda i, c: (strip_update(i, eS, oS, True, ts), c)[1], 0)
+        jax.lax.fori_loop(0, nstrips, lambda i, c: (strip_update(i, oS, eS, False, ts), c)[1], 0)
+
+    return thresholds, full_sweep
+
+
+def _kernel(
+    seeds_ref, dE_ref, beta_ref, e_in, o_in, e_out, o_out, eS, oS, *, nsweeps: int, blen: int
+):
+    r = pl.program_id(0)
+    pltpu.prng_seed(seeds_ref[r])
+    eS[:] = e_in[0].astype(jnp.int32)
+    oS[:] = o_in[0].astype(jnp.int32)
+    thresholds, full_sweep = _sweep_fns(dE_ref, eS, oS)
+
     def sweep(t, _):
         # blen == 1 (constant beta) statically collapses the index to 0,
         # keeping the SMEM schedule buffer tiny for long fixed-beta runs
         beta = beta_ref[t % blen] if blen > 1 else beta_ref[0]
-        ts = thresholds(beta)
-        jax.lax.fori_loop(0, nstrips, lambda i, c: (strip_update(i, eS, oS, True, ts), c)[1], 0)
-        jax.lax.fori_loop(0, nstrips, lambda i, c: (strip_update(i, oS, eS, False, ts), c)[1], 0)
+        full_sweep(thresholds(beta))
         return 0
 
     jax.lax.fori_loop(0, nsweeps, sweep, 0)
+    e_out[0] = eS[:].astype(jnp.int8)
+    o_out[0] = oS[:].astype(jnp.int8)
+
+
+def _kernel_sample(
+    seeds_ref, dE_ref, beta_ref, e_in, o_in,
+    e_out, o_out, se_out, so_out,
+    eS, oS, stE, stO, sem,
+    *, freq: int, nsamples: int, rem: int,
+):
+    """Fused sampling: nsamples blocks of ``freq`` sweeps; after each block the
+    packed planes are staged to int8 and DMA'd into the HBM sample buffers
+    (se_out/so_out [R, nsamples, L, W]). Replaces the round-1 host loop that
+    paid one kernel dispatch per sample block (VERDICT.md weak item 5)."""
+    r = pl.program_id(0)
+    pltpu.prng_seed(seeds_ref[r])
+    eS[:] = e_in[0].astype(jnp.int32)
+    oS[:] = o_in[0].astype(jnp.int32)
+    W = eS.shape[1]
+    Wp = stE.shape[1]  # W padded to the 128-lane tile (HBM DMA alignment)
+    thresholds, full_sweep = _sweep_fns(dE_ref, eS, oS)
+    ts = thresholds(beta_ref[0])  # sampling runs at constant beta
+
+    def sample_block(t, _):
+        jax.lax.fori_loop(0, freq, lambda _, c: (full_sweep(ts), c)[1], 0)
+        if Wp == W:
+            stE[:] = eS[:].astype(jnp.int8)
+            stO[:] = oS[:].astype(jnp.int8)
+        else:
+            stE[:, :W] = eS[:].astype(jnp.int8)
+            stO[:, :W] = oS[:].astype(jnp.int8)
+        # the stage->HBM copy (~L*W bytes) is tiny next to freq sweeps of
+        # compute; waiting inline keeps the stage buffers single-buffered
+        ce = pltpu.make_async_copy(stE, se_out.at[r, t], sem)
+        ce.start()
+        ce.wait()
+        co = pltpu.make_async_copy(stO, so_out.at[r, t], sem)
+        co.start()
+        co.wait()
+        return 0
+
+    jax.lax.fori_loop(0, nsamples, sample_block, 0)
+    jax.lax.fori_loop(0, rem, lambda _, c: (full_sweep(ts), c)[1], 0)
     e_out[0] = eS[:].astype(jnp.int8)
     o_out[0] = oS[:].astype(jnp.int8)
 
@@ -176,6 +244,63 @@ def _call(E, O, seeds, dE, beta_arr, nsweeps: int):
             transcendentals=20 * nsweeps,
         ),
     )(seeds, dE, beta_arr, E, O)
+
+
+@functools.partial(jax.jit, static_argnames=("freq", "nsamples", "rem"))
+def _call_sample(E, O, seeds, dE, beta_arr, freq: int, nsamples: int, rem: int):
+    R, L, W = E.shape
+    Wp = -(-W // 128) * 128  # HBM DMA slices must be 128-lane aligned
+    spec = pl.BlockSpec((1, L, W), lambda r, *_: (r, 0, 0), memory_space=pltpu.VMEM)
+    # sample stacks stay in HBM (pinned: ANY would let small buffers land in
+    # VMEM, where the per-sample DMA slice fails to lower) and are DMA'd into
+    hbm_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # seeds, dE table, beta
+        grid=(R,),
+        in_specs=[spec, spec],
+        out_specs=(spec, spec, hbm_spec, hbm_spec),
+        scratch_shapes=[
+            pltpu.VMEM((L, W), jnp.int32),
+            pltpu.VMEM((L, W), jnp.int32),
+            pltpu.VMEM((L, Wp), jnp.int8),
+            pltpu.VMEM((L, Wp), jnp.int8),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    nsweeps = freq * nsamples + rem
+    return pl.pallas_call(
+        functools.partial(_kernel_sample, freq=freq, nsamples=nsamples, rem=rem),
+        out_shape=(
+            jax.ShapeDtypeStruct((R, L, W), jnp.int8),
+            jax.ShapeDtypeStruct((R, L, W), jnp.int8),
+            jax.ShapeDtypeStruct((R, nsamples, L, Wp), jnp.int8),
+            jax.ShapeDtypeStruct((R, nsamples, L, Wp), jnp.int8),
+        ),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=15 * R * L * W * nsweeps * 2,
+            bytes_accessed=4 * R * L * W + 2 * R * nsamples * L * Wp,
+            transcendentals=20,
+        ),
+    )(seeds, dE, beta_arr, E, O)
+
+
+@functools.partial(jax.jit, static_argnames=("freq", "nsamples", "rem"))
+def _run_packed_sample(s, seeds, dE, beta_arr, freq: int, nsamples: int, rem: int):
+    E, O = pack_checkerboard(s)
+    W = E.shape[2]
+    E2, O2, SE, SO = _call_sample(E, O, seeds, dE, beta_arr, freq, nsamples, rem)
+    return unpack_checkerboard(E2, O2), unpack_checkerboard(SE[..., :W], SO[..., :W])
+
+
+def run_sampling_2d_pallas(s, seeds_u32, beta, j: float, h: float,
+                           freq: int, nsamples: int, rem: int):
+    """Fused sampling on ``s[R, L, L]`` int8: ``nsamples`` blocks of ``freq``
+    sweeps (state recorded after each block, on device) then ``rem`` trailing
+    sweeps. Returns (final_s [R, L, L], samples [R, nsamples, L, L] int8)."""
+    dE = jnp.asarray(_dE_values(j, h))
+    beta_arr = jnp.full(1, beta, jnp.float32)
+    return _run_packed_sample(s, seeds_u32, dE, beta_arr, int(freq), int(nsamples), int(rem))
 
 
 # ------------------------------------------------------------- testing path

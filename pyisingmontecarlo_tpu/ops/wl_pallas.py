@@ -1,0 +1,352 @@
+"""Fused Pallas TPU kernel: Trotterized TFIM worldline sweeps on uniform
+periodic chains and square tori (the quantum benchmark shapes).
+
+Reference contract: the SSE engine's `timesteps(t, beta)` hot loop
+(/root/reference/src/lattice.rs:478-535 call sites; SURVEY.md §2.3
+QmcIsingGraph). The XLA dense-roll path (engines/worldline.py) is the
+correctness baseline; profiling shows it is dominated by threefry bit
+generation (~6 uniform planes per sweep through the VPU) and per-phase HBM
+round-trips of the worldline tensor. This kernel removes both:
+
+- worldline planes stay **VMEM-resident across all sweeps**, laid out as
+  ``[L_tau, Rc * nvars]`` — tau on sublanes, a CHUNK of replicas packed along
+  lanes (lane = r * nvars + i) so the VPU runs full 8x128 tiles even for
+  small systems (a one-replica-per-program grid leaves 7/8 of each tile idle
+  for a 128-site chain). Spatial neighbor rolls use boundary-fix selects so
+  lanes never couple across replicas;
+- randomness is the TPU **hardware PRNG**, seeded per replica-chunk (same
+  seeds + same batch shape => identical trajectories; the XLA path keeps the
+  per-replica threefry streams of the reproducibility contract,
+  lattice.rs:83-91);
+- site-phase Glauber acceptance uses integer threshold tables (at most
+  2x5x3 = 30 distinct dE values for uniform J, global h), no per-site
+  transcendentals — same scheme as ops/sq2d_pallas.py;
+- the FK time-ring cluster phases run a **segmented ring scan by pointer
+  doubling** (log2(L_tau) sublane-roll steps): forward-run energy sums,
+  per-cluster Metropolis at cluster heads, head-decision propagation — no
+  gathers, scatters, or [L, L] membership matmuls;
+- the energy estimator is linear in three per-element integer statistics
+  (bond product, spin, time-aligned flag: total_energy = (J*Sb + h*Sh)/L
+  - Gamma*[tanh(a)*A + coth(a)*(N - A)]/L), which the kernel accumulates in
+  f32 planes — per-element per-sweep increments are +-2, so sums stay exact
+  integers below 2^24 and the host f64 reduction loses nothing (the
+  compensated-accumulation story of utils/accum.py, here exactly).
+
+One full sweep = 4 masked site phases ((site color) x (tau parity)) + 2 FK
+cluster phases (site color) — the exact update composition of the XLA dense
+path (engines/worldline.sweep with a dense spec), so observables agree
+statistically within MC error (validated on-chip, tests/test_pallas_tpu.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["supported", "run_wl_sweeps_pallas"]
+
+_LANE_TARGET = 8192  # lanes per program (64 lane-tiles)
+# Site acceptance via one exp instead of the 30-way threshold select chain:
+# ~14% faster steady-state on the 1024-chain (4.39 vs 3.85 G site-updates/s)
+# but Mosaic compile time explodes from ~30 s to ~19 min — not worth it.
+_EXP_ACCEPT = False
+_MAX_PLANE_BYTES = 2 * 1024 * 1024  # int32 worldline plane per program
+_VMEM_LIMIT = 40 * 1024 * 1024  # scoped-vmem cap (phases hold ~8 live planes)
+
+
+def supported(dense, nvars: int, ltau: int) -> bool:
+    """TPU backend + a dense (uniform ring/torus) spec the kernel handles."""
+    try:
+        plat = jax.devices()[0].platform
+    except Exception:
+        return False
+    if plat in ("cpu", "gpu"):
+        return False
+    if dense is None or ltau < 4 or ltau % 2 or nvars % 2:
+        return False
+    kind, size, _ = dense
+    if kind == "torus" and size % 2:
+        return False
+    return nvars * ltau * 4 <= _MAX_PLANE_BYTES * 8  # single replica must fit
+
+
+def _chunk_replicas(R: int, nvars: int, ltau: int) -> int:
+    """Replicas packed per program: fill ~_LANE_TARGET lanes within the VMEM
+    plane budget, and divide R exactly."""
+    by_lanes = max(1, _LANE_TARGET // nvars)
+    by_vmem = max(1, _MAX_PLANE_BYTES // (nvars * ltau * 4))
+    rc = min(R, by_lanes, by_vmem)
+    while R % rc:
+        rc -= 1
+    return rc
+
+
+def _site_tables(j: float, h: float, dtau: float, ktau: float):
+    """Glauber thresholds for the site phase, indexed
+    [s>0][bsum/2 + 2][ud/2 + 1]; bsum is the +-1 neighbor sum (|bsum| <= 4),
+    ud = s_up + s_down in {-2, 0, 2}."""
+    thr = np.empty(30, np.int32)
+    for si, s in enumerate((-1.0, 1.0)):
+        for bi, bsum in enumerate((-4.0, -2.0, 0.0, 2.0, 4.0)):
+            for ui, ud in enumerate((-2.0, 0.0, 2.0)):
+                dE = -2.0 * s * (dtau * (j * bsum + h) - ktau * ud)
+                pacc = 1.0 / (1.0 + math.exp(min(dE, 60.0)))
+                thr[si * 15 + bi * 3 + ui] = np.int32(pacc * 2147483647.0)
+    cde = np.empty(13, np.float32)  # cluster-phase per-site diagonal dE
+    for si, s in enumerate((-1.0, 1.0)):
+        for bi, bsum in enumerate((-4.0, -2.0, 0.0, 2.0, 4.0)):
+            cde[si * 5 + bi] = -2.0 * s * dtau * (j * bsum + h)
+    # linear dE coefficients for the exp-acceptance path:
+    # dE = s * (c10 * bsum + c11 * ud + c12)
+    cde[10] = -2.0 * dtau * j
+    cde[11] = 2.0 * ktau
+    cde[12] = -2.0 * dtau * h
+    return thr, cde
+
+
+def _select_thr(thr_ref, s, bsum, ud):
+    def chain(base):
+        t = jnp.full(s.shape, thr_ref[base + 2 * 3 + 1], jnp.int32)
+        for bi, bv in enumerate((-4, -2, 0, 2, 4)):
+            for ui, uv in enumerate((-2, 0, 2)):
+                if bv == 0 and uv == 0:
+                    continue
+                t = jnp.where((bsum == bv) & (ud == uv), thr_ref[base + bi * 3 + ui], t)
+        return t
+
+    return jnp.where(s > 0, chain(15), chain(0))
+
+
+def _select_cde(cde_ref, s, bsum):
+    def chain(base):
+        t = jnp.full(s.shape, cde_ref[base + 2], jnp.float32)
+        for bi, bv in enumerate((-4, -2, 0, 2, 4)):
+            if bv == 0:
+                continue
+            t = jnp.where(bsum == bv, cde_ref[base + bi], t)
+        return t
+
+    return jnp.where(s > 0, chain(5), chain(0))
+
+
+def _rand31(shape):
+    rb = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.int32)
+    return jax.lax.shift_right_logical(rb, 1)
+
+
+def _kernel(
+    seeds_ref, nsweeps_ref, thr_ref, cde_ref, pb_ref,
+    s_in, s_out, accs_out, sS,
+    *, kind: str, size: int, nvars: int,
+):
+    c = pl.program_id(0)
+    pltpu.prng_seed(seeds_ref[c])
+    L, RN = sS.shape
+    sS[:] = s_in[0].astype(jnp.int32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (L, RN), 1)
+    i = lane % nvars  # site index within its replica
+    tau = jax.lax.broadcasted_iota(jnp.int32, (L, RN), 0)
+    ksteps = max(1, int(math.ceil(math.log2(L))))
+
+    def roll_up(x, k):  # x[t+k] at position t (forward along the tau ring)
+        return pltpu.roll(x, L - k, 0)
+
+    def roll_dn(x, k):  # x[t-k]
+        return pltpu.roll(x, k, 0)
+
+    def lget(x, d_pos):  # value at lane l+d (d > 0)
+        return pltpu.roll(x, RN - d_pos, 1)
+
+    def lget_neg(x, d_neg):  # value at lane l-d (d > 0)
+        return pltpu.roll(x, d_neg, 1)
+
+    if kind == "ring":
+        cmask0 = i % 2 == 0
+
+        def neighbor_sum(s):
+            right = jnp.where(i == nvars - 1, lget_neg(s, nvars - 1), lget(s, 1))
+            left = jnp.where(i == 0, lget(s, nvars - 1), lget_neg(s, 1))
+            return right + left
+
+        def bond_partners(s):  # neighbors owning each lane's outgoing bonds
+            return (jnp.where(i == nvars - 1, lget_neg(s, nvars - 1), lget(s, 1)),)
+
+    else:  # torus, i = x * size + y
+        x = i // size
+        y = i % size
+        cmask0 = (x + y) % 2 == 0
+
+        def neighbor_sum(s):
+            yp = jnp.where(y == size - 1, lget_neg(s, size - 1), lget(s, 1))
+            ym = jnp.where(y == 0, lget(s, size - 1), lget_neg(s, 1))
+            xp = jnp.where(x == size - 1, lget_neg(s, nvars - size), lget(s, size))
+            xm = jnp.where(x == 0, lget(s, nvars - size), lget_neg(s, size))
+            return yp + ym + xp + xm
+
+        def bond_partners(s):
+            yp = jnp.where(y == size - 1, lget_neg(s, size - 1), lget(s, 1))
+            xp = jnp.where(x == size - 1, lget_neg(s, nvars - size), lget(s, size))
+            return (yp, xp)
+
+    def site_phase(color: int, parity: int):
+        s = sS[:]
+        bsum = neighbor_sum(s)
+        ud = roll_up(s, 1) + roll_dn(s, 1)
+        rb = _rand31((L, RN))
+        if _EXP_ACCEPT:
+            # Glauber via one exp: u < 1/(1+e^dE)  <=>  u*(1+e^dE) < 1
+            sf = s.astype(jnp.float32)
+            dE = sf * (cde_ref[10] * bsum.astype(jnp.float32)
+                       + cde_ref[11] * ud.astype(jnp.float32) + cde_ref[12])
+            u = rb.astype(jnp.float32) * jnp.float32(1.0 / 2147483648.0)
+            acc = u * (1.0 + jnp.exp(dE)) < 1.0
+        else:
+            acc = rb <= _select_thr(thr_ref, s, bsum, ud)
+        cm = cmask0 if color == 0 else ~cmask0
+        acc = acc & cm & ((tau % 2) == parity)
+        sS[:] = jnp.where(acc, -s, s)
+
+    def cluster_phase(color: int):
+        s = sS[:]
+        aligned = s == roll_up(s, 1)  # time bond t -> t+1
+        # masks live as 0/1 int32: Mosaic cannot rotate i1 vectors
+        active = (aligned & (_rand31((L, RN)) < pb_ref[0])).astype(jnp.int32)
+        de = _select_cde(cde_ref, s, neighbor_sum(s))
+        # forward segmented run-sum + connectivity by pointer doubling
+        acc = de
+        reach = active
+        k = 1
+        for _ in range(ksteps):
+            acc = acc + jnp.where(reach == 1, roll_up(acc, k), 0.0)
+            reach = reach & roll_up(reach, k)
+            k *= 2
+        # broadcasts stay int32/f32 (sub-32-bit vector broadcasts fail to
+        # lower); [1, RN] stats broadcast up to [L, RN] before any comparison
+        allact = jnp.broadcast_to(jnp.min(active, axis=0, keepdims=True), (L, RN))
+        heads = jnp.where(
+            allact == 1, (tau == 0).astype(jnp.int32), 1 - roll_dn(active, 1)
+        )
+        de_tot = jnp.broadcast_to(jnp.sum(de, axis=0, keepdims=True), (L, RN))
+        acc = jnp.where(allact == 1, de_tot, acc)
+        u31 = _rand31((L, RN)).astype(jnp.float32)
+        log_u = jnp.log((u31 + 0.5) * (1.0 / 2147483648.0))
+        flip = jnp.where((heads == 1) & (log_u < -acc), 1, 0)
+        # propagate the head decision forward across active bonds
+        conn = roll_dn(active, 1)  # conn[t]: t joined to t-1
+        prop = flip
+        cb = conn
+        k = 1
+        for _ in range(ksteps):
+            prop = prop | (roll_dn(prop, k) & cb)
+            cb = cb & roll_dn(cb, k)
+            k *= 2
+        cm = cmask0 if color == 0 else ~cmask0
+        sS[:] = jnp.where((prop == 1) & cm, -s, s)
+
+    def accumulate():
+        s = sS[:]
+        sb = jnp.zeros((L, RN), jnp.int32)
+        for nb in bond_partners(s):
+            sb = sb + s * nb
+        al = (s == roll_up(s, 1)).astype(jnp.int32)
+        accs_out[0, 0] += sb.astype(jnp.float32)
+        accs_out[0, 1] += s.astype(jnp.float32)
+        accs_out[0, 2] += al.astype(jnp.float32)
+
+    accs_out[0] = jnp.zeros((3, L, RN), jnp.float32)
+
+    def sweep(_, carry):
+        for color in (0, 1):
+            for parity in (0, 1):
+                site_phase(color, parity)
+        for color in (0, 1):
+            cluster_phase(color)
+        accumulate()
+        return carry
+
+    jax.lax.fori_loop(0, nsweeps_ref[0], sweep, 0)
+    s_out[0] = sS[:].astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "size", "nvars"))
+def _call(s, seeds, nsweeps, thr, cde, pb, kind: str, size: int, nvars: int):
+    C, L, RN = s.shape
+    spec = pl.BlockSpec((1, L, RN), lambda c, *_: (c, 0, 0), memory_space=pltpu.VMEM)
+    acc_spec = pl.BlockSpec(
+        (1, 3, L, RN), lambda c, *_: (c, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,  # seeds, nsweeps, thresholds, cluster dE, pbond
+        grid=(C,),
+        in_specs=[spec],
+        out_specs=(spec, acc_spec),
+        scratch_shapes=[pltpu.VMEM((L, RN), jnp.int32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel, kind=kind, size=size, nvars=nvars),
+        out_shape=(
+            jax.ShapeDtypeStruct((C, L, RN), jnp.int8),
+            jax.ShapeDtypeStruct((C, 3, L, RN), jnp.float32),
+        ),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=pl.CostEstimate(
+            flops=500 * C * L * RN,  # per-sweep estimate; nsweeps is dynamic
+            bytes_accessed=17 * C * L * RN,
+            transcendentals=2 * C * L * RN,
+        ),
+    )(seeds, nsweeps, thr, cde, pb, s)
+
+
+def _fold_seeds(seeds_u32, rc: int):
+    """One int32 PRNG seed per replica-chunk from the per-replica seeds."""
+    s = np.asarray(jax.device_get(seeds_u32)).astype(np.uint64).reshape(-1, rc)
+    out = np.zeros(s.shape[0], np.uint64)
+    for k in range(rc):
+        out ^= s[:, k] * np.uint64(0x9E3779B97F4A7C15) + np.uint64(k)
+    return jnp.asarray((out & np.uint64(0x7FFFFFFF)).astype(np.int32))
+
+
+def run_wl_sweeps_pallas(s_tau_last, seeds_u32, nsweeps, dense,
+                         beta: float, gamma: float, h: float, ltau: int):
+    """Run ``nsweeps`` (traced int) full worldline sweeps on
+    ``s_tau_last[R, nvars, L]`` int8. Returns (s, esum[R] f64) where esum is
+    the per-sweep total-energy estimator accumulated over the run, matching
+    engines/worldline.run_sweeps."""
+    kind, size, j = dense
+    R, nvars, L = s_tau_last.shape
+    rc = _chunk_replicas(R, nvars, ltau)
+    C = R // rc
+    dtau = float(beta) / ltau
+    a = dtau * float(gamma)
+    ktau = -0.5 * math.log(math.tanh(a))
+    thr, cde = _site_tables(float(j), float(h), dtau, ktau)
+    pb = np.asarray([np.int32((1.0 - math.exp(-2.0 * ktau)) * 2147483647.0)])
+    # [R, nvars, L] -> [C, L, rc*nvars] (lane = r_within_chunk * nvars + i)
+    s = jnp.transpose(s_tau_last.reshape(C, rc, nvars, L), (0, 3, 1, 2)).reshape(
+        C, L, rc * nvars
+    )
+    nsweeps_arr = jnp.asarray(nsweeps, jnp.int32).reshape(1)
+    s, accs = _call(
+        s, _fold_seeds(seeds_u32, rc), nsweeps_arr, jnp.asarray(thr),
+        jnp.asarray(cde), jnp.asarray(pb), kind, int(size), int(nvars),
+    )
+    s_back = jnp.transpose(
+        s.reshape(C, L, rc, nvars), (0, 2, 3, 1)
+    ).reshape(R, nvars, L)
+    # per-replica reductions of the exact-integer f32 accumulation planes
+    st = np.asarray(accs, np.float64).reshape(C, 3, L, rc, nvars)
+    sums = st.sum(axis=(2, 4)).transpose(0, 2, 1).reshape(R, 3)
+    sb, sh, al = sums[:, 0], sums[:, 1], sums[:, 2]
+    t = float(np.asarray(nsweeps))
+    ntb = nvars * L * t  # time bonds summed over all sweeps
+    tanh_a, coth_a = math.tanh(a), 1.0 / math.tanh(a)
+    ediag = (float(j) * sb + float(h) * sh) / ltau
+    eoff = -float(gamma) * (tanh_a * al + coth_a * (ntb - al)) / ltau
+    return s_back, ediag + eoff

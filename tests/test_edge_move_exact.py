@@ -115,3 +115,34 @@ def test_device_graph_uses_strong_classes():
     ga = ce.device_graph(cg)
     assert len(ga.e_a) == len(cg.strong_ecolor_edges)
     assert sum(int(x.shape[0]) for x in ga.e_a) == cg.nedges
+
+
+def test_importance_sampled_edge_moves_exact():
+    """enable_edge_importance_sampling (lattice.rs:200): |J|-weighted attempt
+    gating is a state-independent (symmetric) proposal, so the sampled
+    distribution must match exact enumeration on a heterogeneous graph."""
+    edges = [
+        ((0, 1), -2.0), ((1, 2), -0.5), ((2, 3), -1.0),
+        ((3, 0), -0.25), ((0, 2), 1.5),
+    ]
+    beta = 0.6
+    cg = compile_graph(edges)
+    ga = ce.device_graph(cg)
+    iw = ce.importance_weights(cg)
+    # weights really are heterogeneous (the gate is exercised)
+    allw = np.concatenate([np.asarray(w) for w in iw])
+    assert allw.min() < 0.99 and allw.max() == 1.0
+    bias = jnp.zeros(cg.nvars, jnp.float32)
+    R = 1024
+    keys = keys_from_seeds(np.arange(1, R + 1, dtype=np.uint64) * 104729)
+    s = ce.random_states(keys, cg.nvars)
+    margs = dict(
+        nspin_sweeps=1, nedge_sweeps=2, nworms=0, only_basic=False,
+        heatbath=False, wlen=1, nclusters=0, iw=iw,
+    )
+    s, keys = ce.run_steps(ga, bias, s, keys, jnp.full(150, beta, jnp.float32), **margs)
+    _, _, es, _ = ce.run_sampling(ga, bias, s, keys, jnp.float32(beta), 80, 1, **margs)
+    es = np.asarray(es, np.float64)
+    ex = exact_energy(edges, 0.0, beta)
+    em, se = es.mean(), es.mean(1).std(ddof=1) / np.sqrt(R)
+    assert abs(em - ex) < 5 * se + 0.02, (em, ex, se)

@@ -1,0 +1,117 @@
+"""Hardware-only checks of the fused Pallas paths (skipped on the CPU test
+mesh; conftest pins JAX_PLATFORMS=cpu, so these run only when invoked with a
+real TPU backend, e.g. ``JAX_PLATFORMS='' pytest tests/test_pallas_tpu.py``).
+
+The algorithm itself is validated bit-exactly on CPU via the explicit-bits
+kernel (tests/test_pallas_interpret.py); these tests cover the Mosaic lowering
+of the widened size gate (L = 32..128, packed width below the 128-lane tile)
+and the fused on-device sampling DMA path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pyisingmontecarlo_tpu.ops import lattice2d as l2d
+from pyisingmontecarlo_tpu.ops import sq2d_pallas as sp
+from pyisingmontecarlo_tpu.rng import keys_from_seeds
+
+pytestmark = pytest.mark.skipif(
+    jax.devices()[0].platform in ("cpu", "gpu"), reason="needs a TPU backend"
+)
+
+
+@pytest.mark.parametrize("L", [32, 64, 128])
+def test_widened_gate_physics_matches_xla(L):
+    assert sp.supported(L)
+    R = 64
+    keys = keys_from_seeds(np.arange(R, dtype=np.uint64) + 7)
+    s = l2d.random_states_2d(keys, L)
+    beta = jnp.full(512, 0.35, jnp.float32)
+    s_p, _ = l2d.run_steps_2d(s, keys, beta, -1.0, 0.0)
+    s_x, _ = l2d._steps_2d(s, keys, beta, jnp.float32(-1.0), jnp.float32(0.0))
+    e_p = np.asarray(l2d.energy_2d(s_p, jnp.float32(-1.0), jnp.float32(0.0)))
+    e_x = np.asarray(l2d.energy_2d(s_x, jnp.float32(-1.0), jnp.float32(0.0)))
+    se = np.hypot(e_p.std(ddof=1), e_x.std(ddof=1)) / np.sqrt(R)
+    assert abs(e_p.mean() - e_x.mean()) < 4 * se + 1e-9
+
+
+def test_fused_sampling_kernel():
+    L, R, freq, nsamp = 64, 32, 4, 10
+    keys = keys_from_seeds(np.arange(R, dtype=np.uint64) + 3)
+    s = l2d.random_states_2d(keys, L)
+    s2, _, es, ss = l2d.run_sampling_2d(s, keys, 0.35, -1.0, 0.0, freq * nsamp, freq)
+    assert es.shape == (R, nsamp) and ss.shape == (R, nsamp, L, L)
+    # rem == 0: the last sample IS the final state
+    np.testing.assert_array_equal(np.asarray(ss[:, -1]), np.asarray(s2))
+    # reported energies must equal recomputation from the sampled states
+    er = np.asarray(
+        l2d.energy_2d(
+            jnp.asarray(np.asarray(ss).reshape(R * nsamp, L, L)),
+            jnp.float32(-1.0),
+            jnp.float32(0.0),
+        )
+    ).reshape(R, nsamp)
+    np.testing.assert_array_equal(np.asarray(es), er)
+
+
+def test_worldline_kernel_matches_xla_chain():
+    """Fused worldline kernel (ops/wl_pallas.py) vs the XLA path: same update
+    composition, energies must agree statistically (128-site TFIM ring)."""
+    import os
+
+    import pyisingmontecarlo_tpu as pmc
+
+    n, R, beta, gamma = 128, 64, 2.0, 1.0
+    edges = [((i, (i + 1) % n), -1.0) for i in range(n)]
+    lat = pmc.Lattice(edges, seed_gen=5)
+    lat.set_transverse_field(gamma)
+    w = lat._worldline(R, beta)
+    assert w._pallas_dense is not None
+    w.timesteps(200)
+    e_p = w.timesteps(400)
+
+    os.environ["PMC_WORLDLINE_NO_PALLAS"] = "1"
+    try:
+        lat2 = pmc.Lattice(edges, seed_gen=5)
+        lat2.set_transverse_field(gamma)
+        w2 = lat2._worldline(R, beta)
+        assert w2._pallas_dense is None
+        w2.timesteps(200)
+        e_x = w2.timesteps(400)
+    finally:
+        del os.environ["PMC_WORLDLINE_NO_PALLAS"]
+    z = abs(e_p.mean() - e_x.mean()) / (
+        np.hypot(e_p.std(ddof=1), e_x.std(ddof=1)) / np.sqrt(R)
+    )
+    assert z < 4.5, (e_p.mean(), e_x.mean(), z)
+
+
+def test_worldline_kernel_exact_small_chain():
+    """Kernel-path <E> vs dense diagonalization on a 4-site TFIM ring (the
+    smallest dense shape the kernel dispatches for)."""
+    import pyisingmontecarlo_tpu as pmc
+
+    n, beta, gamma = 4, 1.5, 0.9
+    edges = [((i, (i + 1) % n), -1.0) for i in range(n)]
+    lat = pmc.Lattice(edges, seed_gen=11)
+    lat.set_transverse_field(gamma)
+    w = lat._worldline(256, beta)
+    assert w._pallas_dense is not None
+    w.timesteps(300)
+    es = w.timesteps(600)
+
+    # dense diagonalization
+    dim = 2**n
+    H = np.zeros((dim, dim))
+    for k in range(dim):
+        zv = [1 if (k >> i) & 1 else -1 for i in range(n)]
+        H[k, k] = sum(j * zv[a] * zv[b] for (a, b), j in edges)
+    for i in range(n):
+        for k in range(dim):
+            H[k ^ (1 << i), k] += -gamma
+    ev = np.linalg.eigvalsh(H)
+    es_sh = ev - ev.min()
+    ex = float((ev * np.exp(-beta * es_sh)).sum() / np.exp(-beta * es_sh).sum())
+    se = es.std(ddof=1) / np.sqrt(len(es))
+    assert abs(es.mean() - ex) < 5 * se + 0.05, (es.mean(), ex, se)

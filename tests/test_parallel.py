@@ -92,3 +92,21 @@ def test_graft_entry_dryrun():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_global_mesh_and_init_distributed():
+    """Multi-host surface (VERDICT.md next-step 10): global_mesh spans all
+    devices; init_distributed is a documented jax.distributed wrapper (a pod
+    is not available here — single-process call must be a safe no-op or a
+    clear error, never a hang)."""
+    need_devices(8)
+    m = pmesh.global_mesh()
+    assert m.shape == {"replica": len(jax.devices())}
+    m2 = pmesh.global_mesh("replica", (("x", 2), ("y", 2)))
+    assert m2.shape == {"replica": len(jax.devices()) // 4, "x": 2, "y": 2}
+    with pytest.raises(ValueError):
+        pmesh.global_mesh("replica", (("x", 3),))  # 8 % 3 != 0
+    # replica_sharding composes with the global mesh
+    sh = pmesh.replica_sharding(m, ndim=3)
+    x = jax.device_put(np.zeros((len(jax.devices()) * 2, 4, 4)), sh)
+    assert x.sharding.is_equivalent_to(sh, 3)

@@ -150,3 +150,47 @@ def test_itime_and_clone_and_add_qmc():
     q2 = q.clone()
     q2.add_qmc()
     assert q.num_graphs == 4 and q2.num_graphs == 5
+
+
+def test_beta_change_preserves_kinked_worldline():
+    """The reference's SSE state survives any beta change (the operator string
+    is reused, qmcrunner.rs:161-201); the worldline analogue is a nearest-slice
+    regrid that keeps kinks instead of collapsing to a classical snapshot."""
+    import numpy as np
+
+    edges = [((0, 1), -1.0), ((1, 2), -1.0), ((2, 3), -1.0)]
+    q = build_tfim_runner(edges, 1.2, 4, 16, seed=3)
+    q.run_sampling(2.0, 200)  # equilibrate: worldlines acquire kinks
+    s_old = np.asarray(q._w.s)
+    kinks_old = (s_old != np.roll(s_old, -1, axis=2)).sum()
+    assert kinks_old > 0, "equilibrated TFIM worldlines must have kinks"
+
+    # trigger the regrid without running any sweeps at the new beta
+    w = q._ensure(2.25)
+    s_new = np.asarray(w.s)
+    assert s_new.shape[:2] == s_old.shape[:2]
+    kinks_new = (s_new != np.roll(s_new, -1, axis=2)).sum()
+    assert kinks_new > 0, "regrid must preserve kinks, not flatten to slice 0"
+    # nearest-slice mapping pins slice 0
+    np.testing.assert_array_equal(s_new[:, :, 0], s_old[:, :, 0])
+    # and the ensemble still samples the right physics at the new beta
+    es, _ = q.run_sampling(2.25, 300, sampling_wait_buffer=100)
+    ex = dense_tfim_energy(edges, 0.0, 1.2, 2.25, 4)
+    se = es.std(ddof=1) / np.sqrt(len(es))
+    assert abs(es.mean() - ex) < 5 * se + 0.1, (es.mean(), ex, se)
+
+
+def test_empty_container_runs_are_noops():
+    """Zero-experiment containers: runs return empty-shaped arrays (the
+    reference iterates an empty Vec; ADVICE round-1 low item)."""
+    q = QmcRunner(3, 0, seed=5)
+    q.add_diagonal_interaction(zz_diag(-1.0), [0, 1])
+    q.add_interaction(x_term(0.7), [2])
+    es, ss = q.run_sampling(1.0, 20, sampling_freq=2)
+    assert es.shape == (0,) and ss.shape == (0, 10, 3)
+    counts = q.run_bond_sampling(1.0, 20)
+    assert counts.shape == (0, 20, 2)
+    ac = q.run_quantum_monte_carlo_and_measure_variable_autocorrelation(1.0, 16)
+    assert ac.shape == (0, 16)
+    ac = q.run_quantum_monte_carlo_and_measure_bond_autocorrelation(1.0, 16)
+    assert ac.shape == (0, 16)
