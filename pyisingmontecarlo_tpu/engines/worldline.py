@@ -737,8 +737,26 @@ class WorldlineEnsemble:
         return kfinal(esum) / t
 
     def timesteps_sample(self, t: int, freq: int):
+        t, freq = int(t), int(freq)
+        nsamples = t // freq
+        if self._pallas_dense is not None and not self.enable_rvb and nsamples:
+            from ..ops import wl_pallas as wp
+
+            if wp.supported_sample(
+                self._pallas_dense, self.cg.nvars, self.L, self.R, nsamples
+            ):
+                from ..ops.lattice2d import _pallas_seeds
+                from ..rng import fold_all
+
+                self.s, esum, samples = wp.run_wl_sample_pallas(
+                    self.s, _pallas_seeds(self.keys), freq, nsamples,
+                    t - nsamples * freq, self._pallas_dense,
+                    self.beta, self.gamma, self.h, self.L,
+                )
+                self.keys = fold_all(self.keys, t)
+                return esum / max(t, 1), np.asarray(samples == 1)
         self.s, self.keys, esum, samples = run_sweeps_sample(
-            self.ga, self.p, self.s, self.keys, int(t), int(freq), **self._flags()
+            self.ga, self.p, self.s, self.keys, t, freq, **self._flags()
         )
         return (
             kfinal(esum) / max(t, 1),

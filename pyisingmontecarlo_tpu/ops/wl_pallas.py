@@ -49,7 +49,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["supported", "run_wl_sweeps_pallas"]
+__all__ = ["supported", "supported_sample", "run_wl_sweeps_pallas", "run_wl_sample_pallas"]
 
 _LANE_TARGET = 8192  # lanes per program (64 lane-tiles)
 # Site acceptance via one exp instead of the 30-way threshold select chain:
@@ -74,6 +74,17 @@ def supported(dense, nvars: int, ltau: int) -> bool:
     if kind == "torus" and size % 2:
         return False
     return nvars * ltau * 4 <= _MAX_PLANE_BYTES * 8  # single replica must fit
+
+
+_MAX_SAMPLE_BYTES = 4 * 1024 * 1024  # VMEM slice-0 sample buffer per program
+
+
+def supported_sample(dense, nvars: int, ltau: int, R: int, nsamples: int) -> bool:
+    """Sampling variant: the per-program slice-0 sample buffer must also fit."""
+    if not supported(dense, nvars, ltau):
+        return False
+    rc = _chunk_replicas(R, nvars, ltau)
+    return nsamples * rc * nvars <= _MAX_SAMPLE_BYTES
 
 
 def _chunk_replicas(R: int, nvars: int, ltau: int) -> int:
@@ -140,15 +151,11 @@ def _rand31(shape):
     return jax.lax.shift_right_logical(rb, 1)
 
 
-def _kernel(
-    seeds_ref, nsweeps_ref, thr_ref, cde_ref, pb_ref,
-    s_in, s_out, accs_out, sS,
-    *, kind: str, size: int, nvars: int,
-):
-    c = pl.program_id(0)
-    pltpu.prng_seed(seeds_ref[c])
+def _build_ops(thr_ref, cde_ref, pb_ref, accs_out, sS, kind: str, size: int, nvars: int):
+    """Shared sweep machinery over the VMEM plane sS [L, RN]: returns
+    (full_sweep, ) where full_sweep() runs the 4 site phases + 2 FK cluster
+    phases + per-sweep estimator accumulation."""
     L, RN = sS.shape
-    sS[:] = s_in[0].astype(jnp.int32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (L, RN), 1)
     i = lane % nvars  # site index within its replica
     tau = jax.lax.broadcasted_iota(jnp.int32, (L, RN), 0)
@@ -259,18 +266,66 @@ def _kernel(
         accs_out[0, 1] += s.astype(jnp.float32)
         accs_out[0, 2] += al.astype(jnp.float32)
 
-    accs_out[0] = jnp.zeros((3, L, RN), jnp.float32)
-
-    def sweep(_, carry):
+    def full_sweep():
         for color in (0, 1):
             for parity in (0, 1):
                 site_phase(color, parity)
         for color in (0, 1):
             cluster_phase(color)
         accumulate()
+
+    return full_sweep
+
+
+def _kernel(
+    seeds_ref, nsweeps_ref, thr_ref, cde_ref, pb_ref,
+    s_in, s_out, accs_out, sS,
+    *, kind: str, size: int, nvars: int,
+):
+    c = pl.program_id(0)
+    pltpu.prng_seed(seeds_ref[c])
+    L, RN = sS.shape
+    sS[:] = s_in[0].astype(jnp.int32)
+    accs_out[0] = jnp.zeros((3, L, RN), jnp.float32)
+    full_sweep = _build_ops(thr_ref, cde_ref, pb_ref, accs_out, sS, kind, size, nvars)
+    jax.lax.fori_loop(0, nsweeps_ref[0], lambda _, carry: (full_sweep(), carry)[1], 0)
+    s_out[0] = sS[:].astype(jnp.int8)
+
+
+def _kernel_sample(
+    seeds_ref, thr_ref, cde_ref, pb_ref,
+    s_in, s_out, accs_out, samples_out, sS, stage, sem,
+    *, kind: str, size: int, nvars: int, freq: int, nsamples: int, rem: int,
+):
+    """Sampling variant: ``nsamples`` blocks of ``freq`` sweeps; after each
+    block the slice-0 spin row is staged into the VMEM sample buffer
+    (samples_out [1, nsamples, RN] int8), then ``rem`` trailing sweeps.
+    Mirrors engines/worldline.run_sweeps_sample (estimator accumulated every
+    sweep, samples after each freq-th)."""
+    c = pl.program_id(0)
+    pltpu.prng_seed(seeds_ref[c])
+    L, RN = sS.shape
+    sS[:] = s_in[0].astype(jnp.int32)
+    accs_out[0] = jnp.zeros((3, L, RN), jnp.float32)
+    full_sweep = _build_ops(thr_ref, cde_ref, pb_ref, accs_out, sS, kind, size, nvars)
+
+    def block(t, carry):
+        jax.lax.fori_loop(0, freq, lambda _, cc: (full_sweep(), cc)[1], 0)
+        # slice-0 states of the chunk, broadcast over the 8-row stage (the
+        # HBM sample buffer carries a dummy 8-row dim: int8 tiling requires
+        # sublane extents that a 1-row slice cannot satisfy)
+        stage[:] = jnp.broadcast_to(sS[0:1, :], (8, sS.shape[1])).astype(jnp.int8)
+        # samples_out is [C, nsamples, 8, RN] in HBM: c and t index UNTILED
+        # dims, so the DMA needs no sublane/lane alignment proofs (a direct
+        # vector store at dynamic t into the sublane-tiled dim cannot be
+        # proven 8-aligned by Mosaic)
+        dma = pltpu.make_async_copy(stage, samples_out.at[c, t], sem)
+        dma.start()
+        dma.wait()
         return carry
 
-    jax.lax.fori_loop(0, nsweeps_ref[0], sweep, 0)
+    jax.lax.fori_loop(0, nsamples, block, 0)
+    jax.lax.fori_loop(0, rem, lambda _, cc: (full_sweep(), cc)[1], 0)
     s_out[0] = sS[:].astype(jnp.int8)
 
 
@@ -302,6 +357,87 @@ def _call(s, seeds, nsweeps, thr, cde, pb, kind: str, size: int, nvars: int):
             transcendentals=2 * C * L * RN,
         ),
     )(seeds, nsweeps, thr, cde, pb, s)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kind", "size", "nvars", "freq", "nsamples", "rem")
+)
+def _call_sample(s, seeds, thr, cde, pb, kind: str, size: int, nvars: int,
+                 freq: int, nsamples: int, rem: int):
+    C, L, RN = s.shape
+    spec = pl.BlockSpec((1, L, RN), lambda c, *_: (c, 0, 0), memory_space=pltpu.VMEM)
+    acc_spec = pl.BlockSpec(
+        (1, 3, L, RN), lambda c, *_: (c, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    samp_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,  # seeds, thresholds, cluster dE, pbond
+        grid=(C,),
+        in_specs=[spec],
+        out_specs=(spec, acc_spec, samp_spec),
+        scratch_shapes=[
+            pltpu.VMEM((L, RN), jnp.int32),
+            pltpu.VMEM((8, RN), jnp.int8),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    nsweeps = freq * nsamples + rem
+    return pl.pallas_call(
+        functools.partial(
+            _kernel_sample, kind=kind, size=size, nvars=nvars,
+            freq=freq, nsamples=nsamples, rem=rem,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((C, L, RN), jnp.int8),
+            jax.ShapeDtypeStruct((C, 3, L, RN), jnp.float32),
+            jax.ShapeDtypeStruct((C, nsamples, 8, RN), jnp.int8),
+        ),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=pl.CostEstimate(
+            flops=500 * C * L * RN * nsweeps,
+            bytes_accessed=17 * C * L * RN,
+            transcendentals=2 * C * L * RN * nsweeps,
+        ),
+    )(seeds, thr, cde, pb, s)
+
+
+def run_wl_sample_pallas(s_tau_last, seeds_u32, freq: int, nsamples: int, rem: int,
+                         dense, beta: float, gamma: float, h: float, ltau: int):
+    """nsamples blocks of ``freq`` sweeps (slice-0 states recorded after each
+    block) + ``rem`` trailing sweeps. Returns (s, esum[R] f64,
+    samples[R, nsamples, nvars] int8), matching
+    engines/worldline.run_sweeps_sample."""
+    kind, size, j = dense
+    R, nvars, L = s_tau_last.shape
+    rc = _chunk_replicas(R, nvars, ltau)
+    C = R // rc
+    dtau = float(beta) / ltau
+    a = dtau * float(gamma)
+    ktau = -0.5 * math.log(math.tanh(a))
+    thr, cde = _site_tables(float(j), float(h), dtau, ktau)
+    pb = np.asarray([np.int32((1.0 - math.exp(-2.0 * ktau)) * 2147483647.0)])
+    s = jnp.transpose(s_tau_last.reshape(C, rc, nvars, L), (0, 3, 1, 2)).reshape(
+        C, L, rc * nvars
+    )
+    s, accs, samples = _call_sample(
+        s, _fold_seeds(seeds_u32, rc), jnp.asarray(thr), jnp.asarray(cde),
+        jnp.asarray(pb), kind, int(size), int(nvars), int(freq), int(nsamples), int(rem),
+    )
+    s_back = jnp.transpose(
+        s.reshape(C, L, rc, nvars), (0, 2, 3, 1)
+    ).reshape(R, nvars, L)
+    samples = samples[:, :, 0, :].reshape(C, nsamples, rc, nvars)
+    samples = samples.transpose(0, 2, 1, 3).reshape(R, nsamples, nvars)
+    st = np.asarray(accs, np.float64).reshape(C, 3, L, rc, nvars)
+    sums = st.sum(axis=(2, 4)).transpose(0, 2, 1).reshape(R, 3)
+    sb, sh, al = sums[:, 0], sums[:, 1], sums[:, 2]
+    t = float(freq * nsamples + rem)
+    ntb = nvars * L * t
+    tanh_a, coth_a = math.tanh(a), 1.0 / math.tanh(a)
+    ediag = (float(j) * sb + float(h) * sh) / ltau
+    eoff = -float(gamma) * (tanh_a * al + coth_a * (ntb - al)) / ltau
+    return s_back, ediag + eoff, samples
 
 
 def _fold_seeds(seeds_u32, rc: int):

@@ -115,3 +115,35 @@ def test_worldline_kernel_exact_small_chain():
     ex = float((ev * np.exp(-beta * es_sh)).sum() / np.exp(-beta * es_sh).sum())
     se = es.std(ddof=1) / np.sqrt(len(es))
     assert abs(es.mean() - ex) < 5 * se + 0.05, (es.mean(), ex, se)
+
+
+def test_worldline_sampling_kernel():
+    """Sampled worldline kernel path through the full public API: shapes,
+    energy agreement with the XLA path, Z2-symmetric magnetization."""
+    import os
+
+    import pyisingmontecarlo_tpu as pmc
+
+    n, R, beta, gamma = 128, 64, 2.0, 1.0
+    edges = [((i, (i + 1) % n), -1.0) for i in range(n)]
+    lat = pmc.Lattice(edges, seed_gen=5)
+    lat.set_transverse_field(gamma)
+    es, ss = lat.run_quantum_monte_carlo_sampling(
+        beta, 400, R, sampling_wait_buffer=200, sampling_freq=4
+    )
+    assert ss.shape == (R, 100, n)
+    os.environ["PMC_WORLDLINE_NO_PALLAS"] = "1"
+    try:
+        lat2 = pmc.Lattice(edges, seed_gen=5)
+        lat2.set_transverse_field(gamma)
+        es2, _ = lat2.run_quantum_monte_carlo_sampling(
+            beta, 400, R, sampling_wait_buffer=200, sampling_freq=4
+        )
+    finally:
+        del os.environ["PMC_WORLDLINE_NO_PALLAS"]
+    z = abs(es.mean() - es2.mean()) / (
+        np.hypot(es.std(ddof=1), es2.std(ddof=1)) / np.sqrt(R)
+    )
+    assert z < 4.5, (es.mean(), es2.mean(), z)
+    frac = np.asarray(ss, float).mean()
+    assert 0.35 < frac < 0.65
