@@ -771,6 +771,28 @@ class WorldlineEnsemble:
         return kfinal(esum) / max(t, 1), counts
 
     def measure_spins(self, t: int, freq: int, down: float, up: float, exponent: int):
+        t, freq = int(t), max(int(freq), 1)
+        nsamples = t // freq
+        if self._pallas_dense is not None and not self.enable_rvb and nsamples:
+            from ..ops import wl_pallas as wp
+
+            if wp.supported_sample(
+                self._pallas_dense, self.cg.nvars, self.L, self.R, nsamples
+            ):
+                from ..ops.lattice2d import _pallas_seeds
+                from ..rng import fold_all
+
+                self.s, esum, samples = wp.run_wl_sample_pallas(
+                    self.s, _pallas_seeds(self.keys), freq, nsamples,
+                    t - nsamples * freq, self._pallas_dense,
+                    self.beta, self.gamma, self.h, self.L,
+                )
+                self.keys = fold_all(self.keys, t)
+                # (sum_i m(s_i))^exponent averaged over the freq-spaced samples
+                # (lattice.rs:857-934; sample phase differs from the XLA path
+                # by one sweep — statistically equivalent)
+                m = np.where(np.asarray(samples) == 1, up, down).sum(-1) ** exponent
+                return m.mean(1), esum / max(t, 1)
         self.s, self.keys, esum, msum, mcnt = run_sweeps_measure(
             self.ga,
             self.p,

@@ -110,3 +110,32 @@ def test_global_mesh_and_init_distributed():
     sh = pmesh.replica_sharding(m, ndim=3)
     x = jax.device_put(np.zeros((len(jax.devices()) * 2, 4, 4)), sh)
     assert x.sharding.is_equivalent_to(sh, 3)
+
+
+def test_worldline_replicas_shard_over_mesh():
+    """Quantum (worldline) replica data parallelism over the device mesh:
+    place the ensemble's batched arrays with a replica sharding and run the
+    same jitted sweep drivers — GSPMD keeps replicas device-local (zero
+    communication; SURVEY.md §2.3 parallelism table row 1)."""
+    need_devices(8)
+    import jax
+    import jax.numpy as jnp
+
+    import pyisingmontecarlo_tpu as pmc
+
+    n, R = 16, 16  # 2 replicas per device
+    edges = [((i, (i + 1) % n), -1.0) for i in range(n)]
+    lat = pmc.Lattice(edges, seed_gen=3)
+    lat.set_transverse_field(1.0)
+    w = lat._worldline(R, 1.0)
+    mesh = pmesh.make_mesh((8,), ("replica",))
+    sh3 = pmesh.replica_sharding(mesh, ndim=3)
+    sh1 = pmesh.replica_sharding(mesh, ndim=1)
+    w.s = jax.device_put(w.s, sh3)
+    w.keys = jax.device_put(w.keys, sh1)
+    es = w.timesteps(3)
+    assert es.shape == (R,) and np.all(np.isfinite(es))
+    # state stays replica-sharded through the sweep program
+    assert w.s.sharding.is_equivalent_to(sh3, 3)
+    es2, samples = w.timesteps_sample(4, 2)
+    assert samples.shape == (R, 2, n)
