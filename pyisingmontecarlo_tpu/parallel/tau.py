@@ -1,0 +1,197 @@
+"""Imaginary-time (tau-axis) sharded worldline sweeps.
+
+SURVEY.md §5 "long-context analogue": the reference has no sequence axis, but
+the Trotterized worldline's imaginary time IS a real array axis — at large
+beta*Gamma the ``[R, nvars, L_tau]`` tensor can outgrow one chip and shards
+along tau like any spatial axis. Each device owns a tau-slab
+``[R, nvars, L_local]``; one boundary slice per direction is exchanged with
+ring neighbors via ``lax.ppermute`` before each phase (SURVEY's halo-exchange
+plan between time-slabs).
+
+Update families (uniform periodic ring, the dense TFIM shape):
+
+- **site phases**: identical to the dense single-chip path
+  (engines/worldline._site_update_dense) with the tau-neighbors of the slab
+  edges read from the halos and the tau-parity mask built from GLOBAL tau
+  indices (L_local must be even so the global checkerboard stays coherent
+  across shard boundaries);
+- **FK cluster phases**: clusters are built on the OPEN local tau-window —
+  the two cross-shard time bonds are never frozen. That is a valid FK/SW
+  decomposition as long as (a) the unfrozen bonds' energy change enters each
+  boundary cluster's Metropolis test (the same device we already use for the
+  frozen spatial field): a cluster containing slab-edge slice t contributes
+  ``2 K_tau s_t s_halo`` to its dE; and (b) the two endpoints of an unfrozen
+  bond never flip in the same phase — adjacent slabs would otherwise both
+  move through the bond using each other's stale value, which biases the
+  chain toward excess kinks (caught by the energy cross-check: the sampler
+  drifted below the ground-state energy). Cluster phases therefore alternate
+  by SHARD parity (even slabs, then odd slabs, with fresh halos in between),
+  which requires an even shard count.
+
+The statistical distribution matches the single-chip engine (same Hamiltonian,
+valid moves); trajectories differ (different cluster decomposition and RNG
+streams), so the cross-check is ⟨E⟩ agreement (tests/test_parallel.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.4.35 exposes shard_map at top level
+    from jax import shard_map as _shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+__all__ = ["sharded_wl_sweeps", "dryrun_tau"]
+
+_F = jnp.float32
+_S = jnp.int8
+
+
+def _halos(s_local, axis_name):
+    """(dn, up): the tau slice just below / above this slab (periodic)."""
+    n = lax.axis_size(axis_name)
+    fwd = [(i, (i + 1) % n) for i in range(n)]
+    bwd = [(i, (i - 1) % n) for i in range(n)]
+    dn = lax.ppermute(s_local[:, :, -1:], axis_name, fwd)  # from lower nbr
+    up = lax.ppermute(s_local[:, :, :1], axis_name, bwd)  # from upper nbr
+    return dn, up
+
+
+def _ring_field(s, j):
+    return j * (jnp.roll(s, 1, axis=1) + jnp.roll(s, -1, axis=1)).astype(_F)
+
+
+def _site_phase(s, key, dtau, ktau, j, h, color, parity, t0, axis_name):
+    R, nvars, Ll = s.shape
+    dn, up_h = _halos(s, axis_name)
+    ext = jnp.concatenate([dn, s, up_h], axis=2).astype(_F)
+    ud = ext[:, :, :-2] + ext[:, :, 2:]
+    B = _ring_field(s, j)
+    dE = -2.0 * s.astype(_F) * (dtau * (B + h) - ktau * ud)
+    u = jax.random.uniform(key, s.shape)
+    site = np.arange(nvars)
+    tpar = (t0 + jnp.arange(Ll)) % 2 == parity
+    cmask = jnp.asarray(site % 2 == color)
+    acc = (u < jax.nn.sigmoid(-dE)) & cmask[None, :, None] & tpar[None, None, :]
+    return jnp.where(acc, -s, s)
+
+
+def _cluster_phase(s, key, dtau, ktau, j, h, color, sphase, axis_name):
+    """FK clusters on the open local tau-window of every site line of one
+    spatial color, on slabs of one shard parity; cross-shard bonds stay
+    unfrozen and enter dE."""
+    R, nvars, Ll = s.shape
+    kb, ka = jax.random.split(key)
+    u_bond = jax.random.uniform(kb, (R, nvars, max(Ll - 1, 1)))
+    u_acc = jax.random.uniform(ka, (R, nvars, Ll))
+    sf = s.astype(_F)
+    p_bond = 1.0 - jnp.exp(-2.0 * ktau)
+    if Ll > 1:
+        aligned = s[:, :, :-1] == s[:, :, 1:]
+        active = aligned & (u_bond < p_bond)  # bond t -> t+1, t < Ll-1
+        inact = (~active).astype(jnp.int32)
+        Q = jnp.concatenate(
+            [jnp.zeros((R, nvars, 1), jnp.int32), jnp.cumsum(inact, axis=-1)], axis=-1
+        )  # Q[t] = inactive bonds below t: equal Q <=> same open segment
+        M = (Q[..., :, None] == Q[..., None, :]).astype(_F)  # [R, nvars, Ll, Ll]
+        heads = jnp.concatenate(
+            [jnp.ones((R, nvars, 1), bool), ~active], axis=-1
+        )  # t starts a segment iff bond (t-1 -> t) inactive (t=0 always)
+    else:
+        M = jnp.ones((R, nvars, 1, 1), _F)
+        heads = jnp.ones((R, nvars, 1), bool)
+    # per-slice dE: spatial + longitudinal everywhere, plus the unfrozen
+    # cross-shard time bonds on the slab edges
+    dn, up_h = _halos(s, axis_name)
+    dE_site = -2.0 * sf * dtau * (_ring_field(s, j) + h)
+    edge = jnp.zeros((R, nvars, Ll), _F)
+    edge = edge.at[:, :, 0].add(2.0 * ktau * sf[:, :, 0] * dn[:, :, 0].astype(_F))
+    edge = edge.at[:, :, -1].add(2.0 * ktau * sf[:, :, -1] * up_h[:, :, 0].astype(_F))
+    dE_site = dE_site + edge
+    dE_c = jnp.einsum("...ts,...s->...t", M, dE_site)
+    u_c = jnp.einsum("...ts,...s->...t", M, u_acc * heads.astype(_F))
+    flip = jnp.log(u_c) < -dE_c
+    site = np.arange(nvars)
+    cmask = jnp.asarray(site % 2 == color)
+    my_turn = (lax.axis_index(axis_name) % 2) == sphase
+    return jnp.where(flip & cmask[None, :, None] & my_turn, -s, s)
+
+
+def _sweeps_local(s, key, dtau, ktau, j, h, sweeps, t0, axis_name, replica_axis):
+    # per-device key stream (fold in the tau-shard index)
+    key = jax.random.fold_in(key, lax.axis_index(axis_name))
+    if replica_axis is not None:
+        key = jax.random.fold_in(key, lax.axis_index(replica_axis))
+
+    def body(carry, _):
+        s, key = carry
+        for color in (0, 1):
+            for parity in (0, 1):
+                key, sub = jax.random.split(key)
+                s = _site_phase(s, sub, dtau, ktau, j, h, color, parity, t0, axis_name)
+        for color in (0, 1):
+            for sphase in (0, 1):
+                key, sub = jax.random.split(key)
+                s = _cluster_phase(s, sub, dtau, ktau, j, h, color, sphase, axis_name)
+        return (s, key), None
+
+    (s, key), _ = lax.scan(body, (s, key), None, length=sweeps)
+    return s
+
+
+def sharded_wl_sweeps(
+    s, key, mesh: Mesh, beta: float, gamma: float, j: float, h: float,
+    sweeps: int, tau_axis: str = "tau", replica_axis=None,
+):
+    """Run ``sweeps`` worldline sweeps on ``s[R, nvars, L_tau]`` int8 with the
+    tau axis sharded over ``mesh[tau_axis]``. Returns the updated state with
+    the same sharding. ``L_tau / n_shards`` must be even."""
+    L = s.shape[2]
+    n = mesh.shape[tau_axis]
+    if L % n or (L // n) % 2:
+        raise ValueError(f"L_tau ({L}) must split into even slabs over {n} shards")
+    if n % 2:
+        raise ValueError(
+            "tau sharding needs an even shard count (cluster phases alternate "
+            "by slab parity so unfrozen cross-shard bonds never see both "
+            "endpoints move at once)"
+        )
+    dtau = float(beta) / L
+    ktau = -0.5 * float(np.log(np.tanh(dtau * float(gamma))))
+    rspec = replica_axis if replica_axis else None
+    spec = P(rspec, None, tau_axis)
+
+    def local(s_local, key):
+        t0 = lax.axis_index(tau_axis) * (L // n)
+        return _sweeps_local(
+            s_local, key, dtau, ktau, j, h, sweeps, t0, tau_axis, replica_axis
+        )
+
+    fn = _shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(spec, P()),
+        out_specs=spec,
+        check_vma=False,
+    )
+    s = jax.device_put(s, NamedSharding(mesh, spec))
+    return jax.jit(fn)(s, key)
+
+
+def dryrun_tau(mesh: Mesh, nvars: int, ltau: int, replicas: int, sweeps: int):
+    """One tau-sharded run on tiny shapes (driver dry-run helper): uniform
+    ferromagnetic TFIM ring, random start. Returns the final global state."""
+    key = jax.random.key(0)
+    s = (jax.random.bernoulli(key, 0.5, (replicas, nvars, ltau)).astype(_S) * 2 - 1)
+    out = sharded_wl_sweeps(
+        s, jax.random.key(1), mesh, beta=1.0, gamma=1.0, j=-1.0, h=0.0,
+        sweeps=sweeps, tau_axis=mesh.axis_names[-1],
+    )
+    return np.asarray(out)

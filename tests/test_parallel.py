@@ -139,3 +139,60 @@ def test_worldline_replicas_shard_over_mesh():
     assert w.s.sharding.is_equivalent_to(sh3, 3)
     es2, samples = w.timesteps_sample(4, 2)
     assert samples.shape == (R, 2, n)
+
+
+def test_tau_sharded_worldline_matches_single_chip():
+    """Imaginary-time sharding (SURVEY.md §5 long-context analogue): the
+    tau-sharded sweep with halo exchange and open-window FK clusters samples
+    the same distribution as the single-chip dense engine."""
+    need_devices(4)
+    import jax
+    import jax.numpy as jnp
+
+    from pyisingmontecarlo_tpu.engines import classical as ce
+    from pyisingmontecarlo_tpu.engines import worldline as wl
+    from pyisingmontecarlo_tpu.graph import compile_graph
+    from pyisingmontecarlo_tpu.parallel import tau as pt
+
+    nvars, ltau, R, beta, gamma = 8, 16, 256, 1.0, 1.0
+    edges = [((i, (i + 1) % nvars), -1.0) for i in range(nvars)]
+    cg = compile_graph(edges)
+    ga = ce.device_graph(cg)
+    p = wl.make_params(np.full(R, beta), gamma, 0.0, ltau)
+
+    mesh = pmesh.make_mesh((4,), ("tau",))
+    key = jax.random.key(0)
+    s = jax.random.bernoulli(key, 0.5, (R, nvars, ltau)).astype(jnp.int8) * 2 - 1
+    es = []
+    for k in range(14):
+        s = pt.sharded_wl_sweeps(
+            s, jax.random.key(100 + k), mesh, beta, gamma, -1.0, 0.0, sweeps=5
+        )
+        if k >= 4:  # burn-in
+            es.append(np.asarray(wl.total_energy(ga, p, jnp.asarray(np.asarray(s)))))
+    es = np.concatenate(es)
+    m_sh, se_sh = es.mean(), es.std(ddof=1) / np.sqrt(R)
+
+    # single-chip reference (XLA dense engine) on the identical problem
+    import pyisingmontecarlo_tpu as pmc
+
+    lat = pmc.Lattice(edges, seed_gen=3)
+    lat.set_transverse_field(gamma)
+    w = lat._worldline(R, beta)
+    w.L = ltau  # match the tau grid exactly (kills Trotter-bias differences)
+    w.p = wl.make_params(np.full(R, beta), gamma, 0.0, ltau)
+    w.s = jnp.broadcast_to(w.s[:, :, :1], (R, nvars, ltau))
+    w.timesteps(20)
+    e_ref = w.timesteps(50)
+    z = abs(m_sh - e_ref.mean()) / np.hypot(se_sh, e_ref.std(ddof=1) / np.sqrt(R))
+    assert z < 5.0, (m_sh, e_ref.mean(), z)
+
+
+def test_dryrun_tau():
+    need_devices(4)
+    from pyisingmontecarlo_tpu.parallel import tau as pt
+
+    m = pmesh.make_mesh((4,), ("tau",))
+    out = pt.dryrun_tau(m, nvars=6, ltau=8, replicas=3, sweeps=2)
+    assert out.shape == (3, 6, 8)
+    assert set(np.unique(out)) <= {-1, 1}
