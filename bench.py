@@ -33,6 +33,12 @@ def run_benchmark():
 
     import jax
 
+    # persistent compile cache: the remote (tunnel) compile helper costs
+    # 30-300 s per kernel; cached reruns skip it entirely
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_pmc")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
     devs = jax.devices()  # raises if the backend is unavailable -> parent retries
     platform = devs[0].platform
     if platform != "tpu" and not os.environ.get("PMC_BENCH_ALLOW_CPU"):

@@ -13,7 +13,16 @@ from pyisingmontecarlo_tpu import Lattice
 from pyisingmontecarlo_tpu.engines.worldline import choose_ltau
 
 
+def _enable_cache():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_pmc")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
 def main():
+    _enable_cache()
     n = 256
     beta, gamma = 2.0, 1.0
     edges = [((i, (i + 1) % n), -1.0) for i in range(n)]

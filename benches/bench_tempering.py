@@ -17,7 +17,16 @@ from pyisingmontecarlo_tpu import LatticeTempering
 from pyisingmontecarlo_tpu.graph import grid_2d_edges
 
 
+def _enable_cache():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_pmc")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
 def main():
+    _enable_cache()
     L = 12  # 144-spin +-J spin glass
     rng = np.random.default_rng(0)
     edges = [

@@ -725,7 +725,7 @@ class WorldlineEnsemble:
             from ..ops.lattice2d import _pallas_seeds
             from ..rng import fold_all
 
-            self.s, esum = wp.run_wl_sweeps_pallas(
+            self.s, esum, _ = wp.run_wl_sweeps_pallas(
                 self.s, _pallas_seeds(self.keys), int(t), self._pallas_dense,
                 self.beta, self.gamma, self.h, self.L,
             )
@@ -867,11 +867,26 @@ class WorldlineEnsemble:
         replicas (average_on_and_off_diagonal_and_consts analogue):
         diag = beta*(sum_b |J_b| + sum_i |h| - E_diag), offdiag = kink count,
         const = beta*Gamma*nvars (exact in SSE, see module docstring)."""
+        cmax = float(np.abs(self.cg.edge_j).sum() + self.cg.nvars * abs(self.h))
+        const = self.beta * self.gamma * self.cg.nvars
+        if self._pallas_dense is not None and not self.enable_rvb:
+            from ..ops import wl_pallas as wp
+            from ..ops.lattice2d import _pallas_seeds
+            from ..rng import fold_all
+
+            self.s, _, stats = wp.run_wl_sweeps_pallas(
+                self.s, _pallas_seeds(self.keys), int(t), self._pallas_dense,
+                self.beta, self.gamma, self.h, self.L,
+            )
+            self.keys = fold_all(self.keys, int(t))
+            # per-sweep means over every sweep (finer than the freq-sampled
+            # XLA estimate; same expectation values)
+            diag = self.beta * (cmax - float(stats["diag_mean"].mean()))
+            off = float(stats["kinks_mean"].mean())
+            return float(diag), off, const
         self.s, self.keys, eds, kks = run_sweeps_opcounts(
             self.ga, self.p, self.s, self.keys, int(t), int(freq), **self._flags()
         )
-        cmax = float(np.abs(self.cg.edge_j).sum() + self.cg.nvars * abs(self.h))
         diag = self.beta * (cmax - float(np.asarray(eds, np.float64).mean()))
         off = float(np.asarray(kks, np.float64).mean())
-        const = self.beta * self.gamma * self.cg.nvars
         return float(diag), off, const

@@ -485,4 +485,7 @@ def run_wl_sweeps_pallas(s_tau_last, seeds_u32, nsweeps, dense,
     tanh_a, coth_a = math.tanh(a), 1.0 / math.tanh(a)
     ediag = (float(j) * sb + float(h) * sh) / ltau
     eoff = -float(gamma) * (tanh_a * al + coth_a * (ntb - al)) / ltau
-    return s_back, ediag + eoff
+    # raw stats power the SSE op-count diagnostics: per-sweep means of the
+    # diagonal energy and the kink count
+    stats = dict(diag_mean=ediag / max(t, 1.0), kinks_mean=(ntb - al) / max(t, 1.0))
+    return s_back, ediag + eoff, stats

@@ -8,7 +8,8 @@ along tau like any spatial axis. Each device owns a tau-slab
 ring neighbors via ``lax.ppermute`` before each phase (SURVEY's halo-exchange
 plan between time-slabs).
 
-Update families (uniform periodic ring, the dense TFIM shape):
+Update families (uniform periodic rings and square tori, the dense TFIM
+shapes):
 
 - **site phases**: identical to the dense single-chip path
   (engines/worldline._site_update_dense) with the tau-neighbors of the slab
@@ -64,26 +65,48 @@ def _halos(s_local, axis_name):
     return dn, up
 
 
-def _ring_field(s, j):
-    return j * (jnp.roll(s, 1, axis=1) + jnp.roll(s, -1, axis=1)).astype(_F)
+def _spatial(kind: str, size: int, nvars: int):
+    """(field, cmask): neighbor-field fn and checkerboard color-0 mask for
+    the dense shape (mirrors engines/worldline._dense_field/_dense_color_mask)."""
+    idx = np.arange(nvars)
+    if kind == "ring":
+        cmask = idx % 2 == 0
+
+        def field(s, j):
+            return j * (jnp.roll(s, 1, axis=1) + jnp.roll(s, -1, axis=1)).astype(_F)
+
+    else:  # torus, vertex id = x * size + y
+        cmask = (idx // size + idx % size) % 2 == 0
+
+        def field(s, j):
+            R, n, Ll = s.shape
+            s4 = s.reshape(R, size, size, Ll)
+            B = (
+                jnp.roll(s4, 1, axis=1)
+                + jnp.roll(s4, -1, axis=1)
+                + jnp.roll(s4, 1, axis=2)
+                + jnp.roll(s4, -1, axis=2)
+            ).reshape(R, n, Ll)
+            return j * B.astype(_F)
+
+    return field, jnp.asarray(cmask)
 
 
-def _site_phase(s, key, dtau, ktau, j, h, color, parity, t0, axis_name):
+def _site_phase(s, key, dtau, ktau, field, cmask0, h, color, parity, t0, axis_name):
     R, nvars, Ll = s.shape
     dn, up_h = _halos(s, axis_name)
     ext = jnp.concatenate([dn, s, up_h], axis=2).astype(_F)
     ud = ext[:, :, :-2] + ext[:, :, 2:]
-    B = _ring_field(s, j)
+    B = field(s)
     dE = -2.0 * s.astype(_F) * (dtau * (B + h) - ktau * ud)
     u = jax.random.uniform(key, s.shape)
-    site = np.arange(nvars)
     tpar = (t0 + jnp.arange(Ll)) % 2 == parity
-    cmask = jnp.asarray(site % 2 == color)
+    cmask = cmask0 == (color == 0)
     acc = (u < jax.nn.sigmoid(-dE)) & cmask[None, :, None] & tpar[None, None, :]
     return jnp.where(acc, -s, s)
 
 
-def _cluster_phase(s, key, dtau, ktau, j, h, color, sphase, axis_name):
+def _cluster_phase(s, key, dtau, ktau, field, cmask0, h, color, sphase, axis_name):
     """FK clusters on the open local tau-window of every site line of one
     spatial color, on slabs of one shard parity; cross-shard bonds stay
     unfrozen and enter dE."""
@@ -110,7 +133,7 @@ def _cluster_phase(s, key, dtau, ktau, j, h, color, sphase, axis_name):
     # per-slice dE: spatial + longitudinal everywhere, plus the unfrozen
     # cross-shard time bonds on the slab edges
     dn, up_h = _halos(s, axis_name)
-    dE_site = -2.0 * sf * dtau * (_ring_field(s, j) + h)
+    dE_site = -2.0 * sf * dtau * (field(s) + h)
     edge = jnp.zeros((R, nvars, Ll), _F)
     edge = edge.at[:, :, 0].add(2.0 * ktau * sf[:, :, 0] * dn[:, :, 0].astype(_F))
     edge = edge.at[:, :, -1].add(2.0 * ktau * sf[:, :, -1] * up_h[:, :, 0].astype(_F))
@@ -118,28 +141,34 @@ def _cluster_phase(s, key, dtau, ktau, j, h, color, sphase, axis_name):
     dE_c = jnp.einsum("...ts,...s->...t", M, dE_site)
     u_c = jnp.einsum("...ts,...s->...t", M, u_acc * heads.astype(_F))
     flip = jnp.log(u_c) < -dE_c
-    site = np.arange(nvars)
-    cmask = jnp.asarray(site % 2 == color)
+    cmask = cmask0 == (color == 0)
     my_turn = (lax.axis_index(axis_name) % 2) == sphase
     return jnp.where(flip & cmask[None, :, None] & my_turn, -s, s)
 
 
-def _sweeps_local(s, key, dtau, ktau, j, h, sweeps, t0, axis_name, replica_axis):
+def _sweeps_local(s, key, dtau, ktau, kind, size, j, h, sweeps, t0, axis_name,
+                  replica_axis):
     # per-device key stream (fold in the tau-shard index)
     key = jax.random.fold_in(key, lax.axis_index(axis_name))
     if replica_axis is not None:
         key = jax.random.fold_in(key, lax.axis_index(replica_axis))
+    field0, cmask0 = _spatial(kind, size, s.shape[1])
+    field = lambda s_: field0(s_, j)
 
     def body(carry, _):
         s, key = carry
         for color in (0, 1):
             for parity in (0, 1):
                 key, sub = jax.random.split(key)
-                s = _site_phase(s, sub, dtau, ktau, j, h, color, parity, t0, axis_name)
+                s = _site_phase(
+                    s, sub, dtau, ktau, field, cmask0, h, color, parity, t0, axis_name
+                )
         for color in (0, 1):
             for sphase in (0, 1):
                 key, sub = jax.random.split(key)
-                s = _cluster_phase(s, sub, dtau, ktau, j, h, color, sphase, axis_name)
+                s = _cluster_phase(
+                    s, sub, dtau, ktau, field, cmask0, h, color, sphase, axis_name
+                )
         return (s, key), None
 
     (s, key), _ = lax.scan(body, (s, key), None, length=sweeps)
@@ -148,11 +177,14 @@ def _sweeps_local(s, key, dtau, ktau, j, h, sweeps, t0, axis_name, replica_axis)
 
 def sharded_wl_sweeps(
     s, key, mesh: Mesh, beta: float, gamma: float, j: float, h: float,
-    sweeps: int, tau_axis: str = "tau", replica_axis=None,
+    sweeps: int, tau_axis: str = "tau", replica_axis=None, kind: str = "ring",
+    size: int = 0,
 ):
     """Run ``sweeps`` worldline sweeps on ``s[R, nvars, L_tau]`` int8 with the
-    tau axis sharded over ``mesh[tau_axis]``. Returns the updated state with
-    the same sharding. ``L_tau / n_shards`` must be even."""
+    tau axis sharded over ``mesh[tau_axis]``. ``kind``/``size`` pick the dense
+    spatial shape ('ring' uses nvars; 'torus' needs size = side length).
+    Returns the updated state with the same sharding. ``L_tau / n_shards``
+    must be even."""
     L = s.shape[2]
     n = mesh.shape[tau_axis]
     if L % n or (L // n) % 2:
@@ -171,7 +203,8 @@ def sharded_wl_sweeps(
     def local(s_local, key):
         t0 = lax.axis_index(tau_axis) * (L // n)
         return _sweeps_local(
-            s_local, key, dtau, ktau, j, h, sweeps, t0, tau_axis, replica_axis
+            s_local, key, dtau, ktau, kind, int(size) or s.shape[1], j, h, sweeps,
+            t0, tau_axis, replica_axis
         )
 
     fn = _shard_map(

@@ -196,3 +196,54 @@ def test_dryrun_tau():
     out = pt.dryrun_tau(m, nvars=6, ltau=8, replicas=3, sweeps=2)
     assert out.shape == (3, 6, 8)
     assert set(np.unique(out)) <= {-1, 1}
+
+
+def test_tau_sharded_torus_matches_single_chip():
+    """Tau sharding on the 2D torus shape (4^2, 256 replicas): <E> agreement
+    with the single-chip dense engine."""
+    need_devices(4)
+    import jax
+    import jax.numpy as jnp
+
+    from pyisingmontecarlo_tpu.engines import classical as ce
+    from pyisingmontecarlo_tpu.engines import worldline as wl
+    from pyisingmontecarlo_tpu.graph import compile_graph, grid_2d_edges
+    from pyisingmontecarlo_tpu.parallel import tau as pt
+
+    size, ltau, R, beta, gamma = 4, 16, 256, 1.0, 1.0
+    nvars = size * size
+    edges = grid_2d_edges(size, size, j=-1.0)
+    cg = compile_graph(edges)
+    ga = ce.device_graph(cg)
+    p = wl.make_params(np.full(R, beta), gamma, 0.0, ltau)
+
+    mesh = pmesh.make_mesh((4,), ("tau",))
+    key = jax.random.key(2)
+    s = jax.random.bernoulli(key, 0.5, (R, nvars, ltau)).astype(jnp.int8) * 2 - 1
+    es = []
+    # the window-restricted cluster decomposition mixes slower on the torus
+    # than on the ring: equilibration verified out to 240 sweeps (plateau at
+    # -34.0..-34.15 vs reference -34.09); burn 80 sweeps here
+    for k in range(28):
+        s = pt.sharded_wl_sweeps(
+            s, jax.random.key(200 + k), mesh, beta, gamma, -1.0, 0.0, sweeps=5,
+            kind="torus", size=size,
+        )
+        if k >= 16:
+            es.append(np.asarray(wl.total_energy(ga, p, jnp.asarray(np.asarray(s)))))
+    es = np.concatenate(es)
+
+    import pyisingmontecarlo_tpu as pmc
+
+    lat = pmc.Lattice(edges, seed_gen=4)
+    lat.set_transverse_field(gamma)
+    w = lat._worldline(R, beta)
+    w.L = ltau
+    w.p = wl.make_params(np.full(R, beta), gamma, 0.0, ltau)
+    w.s = jnp.broadcast_to(w.s[:, :, :1], (R, nvars, ltau))
+    w.timesteps(20)
+    e_ref = w.timesteps(50)
+    z = abs(es.mean() - e_ref.mean()) / np.hypot(
+        es.std(ddof=1) / np.sqrt(R), e_ref.std(ddof=1) / np.sqrt(R)
+    )
+    assert z < 5.0, (es.mean(), e_ref.mean(), z)
