@@ -79,8 +79,21 @@ def batched_graph_arrays(cg: CompiledGraph, jvals: np.ndarray) -> ce.GraphArrays
     )
 
 
-def _mixed_sweep(ga, p, s, keys, hb_mask, rvb_mask, any_rvb: bool):
-    """One full sweep with per-replica heatbath/rvb flags (traced masks)."""
+def _mixed_sweep(ga, p, s, keys, hb_mask, rvb_mask, any_rvb: bool,
+                 ladder_planes=None, ladder_kind=None, ladder_size=0):
+    """One full sweep with per-replica heatbath/rvb flags (traced masks).
+
+    ``ladder_kind`` (static, None/'ring'/'torus') switches the sweep to the
+    fused Pallas ladder kernel (ops/wl_ladder_pallas.py): quenched per-lane
+    couplings + per-replica (beta, Gamma, h), one kernel call per sweep
+    inside this jitted loop — swaps/energies stay in XLA around it."""
+    if ladder_kind is not None:
+        from .ops import wl_ladder_pallas as wlp
+
+        keys, sub = ce.split_keys(keys)
+        seed = jax.random.randint(sub[0], (1,), 0, 2**31 - 1).astype(jnp.int32)
+        s = wlp.ladder_sweep(s, seed, ladder_planes, ladder_kind, ladder_size, s.shape[1])
+        return s, keys
     for c in range(len(ga.c_sites)):
         for parity in (0, 1):
             keys, sub = ce.split_keys(keys)
@@ -146,9 +159,10 @@ def tempering_swap(ga, p, s, swapkey, phase):
     return jnp.take(s, perm, axis=0), swapkey, acc_leader.sum()
 
 
-@partial(jax.jit, static_argnames=("swap_freq", "any_rvb"))
+@partial(jax.jit, static_argnames=("swap_freq", "any_rvb", "ladder_kind", "ladder_size"))
 def run_tempering_nostates(
-    ga, p, s, keys, swapkey, hb_mask, rvb_mask, timesteps, swap_freq, any_rvb, phase0, nswaps0
+    ga, p, s, keys, swapkey, hb_mask, rvb_mask, timesteps, swap_freq, any_rvb, phase0, nswaps0,
+    ladder_planes=None, ladder_kind=None, ladder_size=0,
 ):
     """Like run_tempering but collects no per-sweep states; ``timesteps`` is a
     traced operand (one compilation serves every sweep count — plain stepping
@@ -156,7 +170,10 @@ def run_tempering_nostates(
 
     def body(t, carry):
         s, keys, swapkey, esum, phase, nswaps = carry
-        s, keys = _mixed_sweep(ga, p, s, keys, hb_mask, rvb_mask, any_rvb)
+        s, keys = _mixed_sweep(
+            ga, p, s, keys, hb_mask, rvb_mask, any_rvb,
+            ladder_planes, ladder_kind, ladder_size,
+        )
         esum = kadd(esum, wl.total_energy(ga, p, s))
 
         def do_swap(args):
@@ -182,9 +199,10 @@ def run_tempering_nostates(
     return s, keys, swapkey, esum, phase, nswaps
 
 
-@partial(jax.jit, static_argnames=("timesteps", "swap_freq", "any_rvb"))
+@partial(jax.jit, static_argnames=("timesteps", "swap_freq", "any_rvb", "ladder_kind", "ladder_size"))
 def run_tempering(
-    ga, p, s, keys, swapkey, hb_mask, rvb_mask, timesteps, swap_freq, any_rvb, phase0, nswaps0
+    ga, p, s, keys, swapkey, hb_mask, rvb_mask, timesteps, swap_freq, any_rvb, phase0, nswaps0,
+    ladder_planes=None, ladder_kind=None, ladder_size=0,
 ):
     """timesteps sweeps with a swap phase every swap_freq sweeps. Collects
     slice-0 states after every sweep (host subsamples). Returns
@@ -192,7 +210,10 @@ def run_tempering(
 
     def body(carry, t):
         s, keys, swapkey, esum, phase, nswaps = carry
-        s, keys = _mixed_sweep(ga, p, s, keys, hb_mask, rvb_mask, any_rvb)
+        s, keys = _mixed_sweep(
+            ga, p, s, keys, hb_mask, rvb_mask, any_rvb,
+            ladder_planes, ladder_kind, ladder_size,
+        )
         esum = kadd(esum, wl.total_energy(ga, p, s))
 
         def do_swap(args):
@@ -329,6 +350,20 @@ class LatticeTempering:
             s = jnp.broadcast_to(s0[:, :, None], (R, self.nvars, L))
         if self._swapkey is None:
             self._swapkey = keys_from_seeds(self.rng.make_seeds(1))[0]
+        import os
+
+        ladder = None
+        if not any(g["rvb"] for g in self.graphs) and not os.environ.get(
+            "PMC_TEMPERING_NO_PALLAS"
+        ):
+            from .ops import wl_ladder_pallas as wlp
+
+            topo = wlp.detect_topology(self.nvars, ea, eb)
+            if topo is not None and wlp.supported_ladder(topo, self.nvars, L, R):
+                planes = wlp.build_planes(
+                    topo[0], topo[1], self.nvars, ea, eb, jv, betas, gammas, hs, L
+                )
+                ladder = dict(planes=planes, kind=topo[0], size=topo[1])
         self._mat = dict(
             cg=cg,
             ga=ga,
@@ -340,6 +375,7 @@ class LatticeTempering:
             rvb_mask=jnp.asarray(np.array([g["rvb"] for g in self.graphs])),
             any_rvb=any(g["rvb"] for g in self.graphs),
             phase=jnp.int32(0),
+            ladder=ladder,
         )
         return self._mat
 
@@ -363,6 +399,9 @@ class LatticeTempering:
             m["any_rvb"],
             m["phase"],
             jnp.int32(0),
+            ladder_planes=None if m["ladder"] is None else m["ladder"]["planes"],
+            ladder_kind=None if m["ladder"] is None else m["ladder"]["kind"],
+            ladder_size=0 if m["ladder"] is None else m["ladder"]["size"],
         )
         m["s"], m["keys"], m["phase"] = s, keys, phase
         self._swapkey = swapkey
@@ -385,6 +424,9 @@ class LatticeTempering:
             m["any_rvb"],
             m["phase"],
             jnp.int32(0),
+            ladder_planes=None if m["ladder"] is None else m["ladder"]["planes"],
+            ladder_kind=None if m["ladder"] is None else m["ladder"]["kind"],
+            ladder_size=0 if m["ladder"] is None else m["ladder"]["size"],
         )
         m["s"], m["keys"], m["phase"] = s, keys, phase
         self._swapkey = swapkey

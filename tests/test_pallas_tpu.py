@@ -147,3 +147,43 @@ def test_worldline_sampling_kernel():
     assert z < 4.5, (es.mean(), es2.mean(), z)
     frac = np.asarray(ss, float).mean()
     assert 0.35 < frac < 0.65
+
+
+def test_tempering_ladder_kernel_matches_xla():
+    """Fused ladder sweep (ops/wl_ladder_pallas.py) inside the tempering
+    loop: per-replica energies and swap counts agree with the XLA path on a
+    6x6 +-J glass 16-replica beta ladder."""
+    import os
+
+    from pyisingmontecarlo_tpu import LatticeTempering
+    from pyisingmontecarlo_tpu.graph import grid_2d_edges
+
+    def build(force_xla):
+        if force_xla:
+            os.environ["PMC_TEMPERING_NO_PALLAS"] = "1"
+        else:
+            os.environ.pop("PMC_TEMPERING_NO_PALLAS", None)
+        rng = np.random.default_rng(0)
+        edges = [
+            ((a, b), float(rng.choice([-1.0, 1.0])))
+            for (a, b), _ in grid_2d_edges(6, 6)
+        ]
+        lt = LatticeTempering(edges, seed=0)
+        for b in np.geomspace(0.3, 2.0, 16):
+            lt.add_graph(1.0, 0.0, float(b))
+        return lt
+
+    try:
+        lt = build(False)
+        assert lt._materialize()["ladder"] is not None
+        lt.qmc_timesteps_sample(300, replica_swap_freq=1)
+        _, es = lt.qmc_timesteps_sample(600, replica_swap_freq=1)
+        lt2 = build(True)
+        assert lt2._materialize()["ladder"] is None
+        lt2.qmc_timesteps_sample(300, replica_swap_freq=1)
+        _, es2 = lt2.qmc_timesteps_sample(600, replica_swap_freq=1)
+    finally:
+        os.environ.pop("PMC_TEMPERING_NO_PALLAS", None)
+    rel = np.abs(es - es2) / np.maximum(np.abs(es2), 1.0)
+    assert rel.max() < 0.08, (es, es2)
+    assert lt.get_total_swaps() > 0
