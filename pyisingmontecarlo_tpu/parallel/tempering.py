@@ -44,6 +44,10 @@ def shard_ladder(lt: "tp.LatticeTempering", mesh: Mesh, axis: str = "replica") -
     m["p"] = type(m["p"])(*[put(x, P(axis)) for x in m["p"]])
     m["hb_mask"] = put(m["hb_mask"], P(axis))
     m["rvb_mask"] = put(m["rvb_mask"], P(axis))
+    # the fused ladder-sweep kernel (single-chip) is a pallas_call GSPMD
+    # cannot partition; sharded ladders run the XLA sweep (replicas are
+    # device-local either way, swaps ride the collective permute)
+    m["ladder"] = None
 
 
 def dryrun_ladder(
