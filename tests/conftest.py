@@ -6,7 +6,11 @@ tests at all; this is our stand-in for pod hardware)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# PMC_TESTS_TPU=1 runs the suite against the real TPU backend instead of the
+# virtual CPU mesh (used for tests/test_pallas_tpu.py, which skips on CPU)
+_TPU_MODE = bool(os.environ.get("PMC_TESTS_TPU"))
+
+os.environ.setdefault("JAX_PLATFORMS", "axon" if _TPU_MODE else "cpu")
 # this jax build's axon plugin ignores JAX_PLATFORMS; PLATFORM_NAME works
 os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
@@ -23,7 +27,8 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 # restricts backend initialization to cpu, keeping tests hermetic.
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _TPU_MODE:
+    jax.config.update("jax_platforms", "cpu")
 # the env-var route doesn't reliably reach jax here; set the config directly
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_pmc")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
