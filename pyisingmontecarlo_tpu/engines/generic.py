@@ -389,12 +389,25 @@ def _flip_delta_per_site(comp: Compiled, s, s_new, c: int):
     pos_of = np.full(int(comp.touched.shape[0]), -1, np.int32)
     pos_of[sites] = np.arange(Cc)
     for cls in comp.classes:
-        dw = _term_logw(cls, s_new, g_of_l) - _term_logw(cls, s, g_of_l)  # [R,T,Lt]
         cv = cls.cvar[c]  # [T] var id or -1 (np const)
-        valid = cv >= 0
-        tgt = np.where(valid, pos_of[np.maximum(cv, 0)], 0)
-        dw = jnp.where(valid[None, :, None], dw, 0.0)
-        d = d.at[:, tgt, :].add(dw)
+        sel = np.nonzero(cv >= 0)[0]
+        if sel.size == 0:
+            continue
+        # evaluate only the terms touching a color-c variable (the others
+        # contribute zero; evaluating all T terms wasted up to half the
+        # segment-pass cost — TPU profile, STATUS.md round-3 notes)
+        if sel.size < cv.shape[0]:
+            cls = cls._replace(
+                vars=cls.vars[sel],
+                logT=cls.logT[jnp.asarray(sel)],
+                esti=cls.esti[jnp.asarray(sel)],
+                group=cls.group[sel],
+                cvar=tuple(cc[sel] for cc in cls.cvar),
+                term_ids=cls.term_ids[sel],
+            )
+            cv = cv[sel]
+        dw = _term_logw(cls, s_new, g_of_l) - _term_logw(cls, s, g_of_l)  # [R,Tc,Lt]
+        d = d.at[:, pos_of[cv], :].add(dw)
     dd = _delta_logw(comp.touched, s_new, g_of_l) - _delta_logw(comp.touched, s, g_of_l)
     d = d + dd[:, sites, :]
     return d

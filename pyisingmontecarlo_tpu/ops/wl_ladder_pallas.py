@@ -70,7 +70,7 @@ def detect_topology(nvars: int, edge_a, edge_b):
 # ~22 f32 planes stay live through a cluster phase; the bench shape
 # (L_tau=60 x 9216 lanes) needs ~50 MB of scoped VMEM (v5e has 128 MB)
 _VMEM_LIMIT = 96 * 1024 * 1024
-_MAX_POINTS = 1_000_000  # L * R * nvars per (single-chunk) call
+_MAX_POINTS = 1_000_000  # L * rc * nvars per chunk (grid program)
 
 
 def supported_ladder(kind_size, nvars: int, ltau: int, R: int) -> bool:
@@ -85,7 +85,16 @@ def supported_ladder(kind_size, nvars: int, ltau: int, R: int) -> bool:
     kind, size = kind_size
     if kind == "torus" and size % 2:
         return False
-    return ltau * R * nvars <= _MAX_POINTS
+    return ltau * nvars <= _MAX_POINTS  # a single replica must fit one chunk
+
+
+def _chunk_replicas(R: int, nvars: int, ltau: int) -> int:
+    """Replicas per grid program: the largest divisor of R whose chunk fits
+    the per-program VMEM point budget."""
+    rc = min(R, max(1, _MAX_POINTS // (ltau * nvars)))
+    while R % rc:
+        rc -= 1
+    return rc
 
 
 def build_planes(kind: str, size: int, nvars: int, edge_a, edge_b, edge_j,
@@ -145,17 +154,18 @@ def _kernel(
     seed_ref, s_in, j1, j2, dt, kt, hh, pb, s_out, sS,
     *, kind: str, size: int, nvars: int,
 ):
-    pltpu.prng_seed(seed_ref[0])
+    c = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0] + c)  # distinct stream per replica chunk
     L, RN = sS.shape
-    sS[:] = s_in[:].astype(jnp.int32)
+    sS[:] = s_in[0].astype(jnp.int32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (L, RN), 1)
     i = lane % nvars
     tau = jax.lax.broadcasted_iota(jnp.int32, (L, RN), 0)
     ksteps = max(1, int(math.ceil(math.log2(L))))
-    dtb = jnp.broadcast_to(dt[:], (L, RN))
-    ktb = jnp.broadcast_to(kt[:], (L, RN))
-    hb = jnp.broadcast_to(hh[:], (L, RN))
-    pbb = jnp.broadcast_to(pb[:], (L, RN))
+    dtb = jnp.broadcast_to(dt[0], (L, RN))
+    ktb = jnp.broadcast_to(kt[0], (L, RN))
+    hb = jnp.broadcast_to(hh[0], (L, RN))
+    pbb = jnp.broadcast_to(pb[0], (L, RN))
 
     def roll_up(x, k):
         return pltpu.roll(x, L - k, 0)
@@ -181,7 +191,7 @@ def _kernel(
         cmask0 = i % 2 == 0
         c_hi = i == nvars - 1
         c_lo = i == 0
-        j1b = jnp.broadcast_to(j1[:], (L, RN))
+        j1b = jnp.broadcast_to(j1[0], (L, RN))
 
         def field(sf):
             fwd = j1b * pick(c_hi, sf, nvars - 1, 1)
@@ -194,8 +204,8 @@ def _kernel(
         cmask0 = (x + y) % 2 == 0
         y_hi, y_lo = y == size - 1, y == 0
         x_hi, x_lo = x == size - 1, x == 0
-        j1b = jnp.broadcast_to(j1[:], (L, RN))  # J(i -> y+1)
-        j2b = jnp.broadcast_to(j2[:], (L, RN))  # J(i -> x+1)
+        j1b = jnp.broadcast_to(j1[0], (L, RN))  # J(i -> y+1)
+        j2b = jnp.broadcast_to(j2[0], (L, RN))  # J(i -> x+1)
 
         def field(sf):
             yp = j1b * pick(y_hi, sf, size - 1, 1)
@@ -264,29 +274,30 @@ def _kernel(
             site_phase(color, parity)
     for color in (0, 1):
         cluster_phase(color)
-    s_out[:] = sS[:].astype(jnp.int8)
+    s_out[0] = sS[:].astype(jnp.int8)
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "size", "nvars"))
 def _call(s, seed, j1, j2, dt, kt, hh, pb, kind: str, size: int, nvars: int):
-    L, RN = s.shape
-    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    C, L, RNc = s.shape
+    sspec = pl.BlockSpec((1, L, RNc), lambda c, *_: (c, 0, 0), memory_space=pltpu.VMEM)
+    pspec = pl.BlockSpec((1, 1, RNc), lambda c, *_: (c, 0, 0), memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # seed
-        grid=(1,),
-        in_specs=[vspec] * 7,
-        out_specs=vspec,
-        scratch_shapes=[pltpu.VMEM((L, RN), jnp.int32)],
+        grid=(C,),
+        in_specs=[sspec] + [pspec] * 6,
+        out_specs=sspec,
+        scratch_shapes=[pltpu.VMEM((L, RNc), jnp.int32)],
     )
     return pl.pallas_call(
         functools.partial(_kernel, kind=kind, size=size, nvars=nvars),
-        out_shape=jax.ShapeDtypeStruct((L, RN), jnp.int8),
+        out_shape=jax.ShapeDtypeStruct((C, L, RNc), jnp.int8),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
-            flops=600 * L * RN,
-            bytes_accessed=2 * L * RN,
-            transcendentals=12 * L * RN,
+            flops=600 * C * L * RNc,
+            bytes_accessed=2 * C * L * RNc,
+            transcendentals=12 * C * L * RNc,
         ),
     )(seed, s, j1, j2, dt, kt, hh, pb)
 
@@ -294,11 +305,25 @@ def _call(s, seed, j1, j2, dt, kt, hh, pb, kind: str, size: int, nvars: int):
 def ladder_sweep(s, seed, planes, kind: str, size: int, nvars: int):
     """One full worldline sweep on ``s[R, nvars, L]`` int8 with the quenched
     per-lane parameter ``planes`` (from build_planes). ``seed`` is a traced
-    int32 [1]. Jittable — call inside the tempering loop."""
+    int32 [1]. Jittable — call inside the tempering loop. Ladders too large
+    for one program chunk replicas over the grid (distinct PRNG stream per
+    chunk, seeded seed + chunk_index)."""
     jplanes, dt, kt, hh, pb = planes
     j1 = jplanes[0]
     j2 = jplanes[1] if len(jplanes) > 1 else jplanes[0]
     R, nv, L = s.shape
+    rc = _chunk_replicas(R, nv, L)
+    C = R // rc
+    RNc = rc * nv
+
+    def chunked(x):  # [1, R*nv] -> [C, 1, RNc]
+        return x.reshape(C, 1, RNc)
+
     s2 = jnp.transpose(s, (2, 0, 1)).reshape(L, R * nv)
-    s2 = _call(s2, seed, j1, j2, dt, kt, hh, pb, kind, int(size), int(nvars))
+    s2 = s2.reshape(L, C, RNc).transpose(1, 0, 2)  # [C, L, RNc]
+    s2 = _call(
+        s2, seed, chunked(j1), chunked(j2), chunked(dt), chunked(kt),
+        chunked(hh), chunked(pb), kind, int(size), int(nvars),
+    )
+    s2 = s2.transpose(1, 0, 2).reshape(L, R * nv)
     return jnp.transpose(s2.reshape(L, R, nv), (1, 2, 0))

@@ -187,3 +187,55 @@ def test_tempering_ladder_kernel_matches_xla():
     rel = np.abs(es - es2) / np.maximum(np.abs(es2), 1.0)
     assert rel.max() < 0.08, (es, es2)
     assert lt.get_total_swaps() > 0
+
+
+def test_tempering_ladder_kernel_chunked_and_mixed_gamma():
+    """Chunked ladders (replicas split over grid programs) and per-replica
+    transverse-field ladders agree with the XLA path."""
+    import os
+
+    from pyisingmontecarlo_tpu import LatticeTempering
+    from pyisingmontecarlo_tpu.graph import grid_2d_edges
+    from pyisingmontecarlo_tpu.ops import wl_ladder_pallas as wlp
+
+    def build(force_xla, gammas):
+        if force_xla:
+            os.environ["PMC_TEMPERING_NO_PALLAS"] = "1"
+        else:
+            os.environ.pop("PMC_TEMPERING_NO_PALLAS", None)
+        rng = np.random.default_rng(0)
+        edges = [
+            ((a, b), float(rng.choice([-1.0, 1.0])))
+            for (a, b), _ in grid_2d_edges(6, 6)
+        ]
+        lt = LatticeTempering(edges, seed=0)
+        for b, g in zip(np.geomspace(0.3, 2.0, 16), gammas):
+            lt.add_graph(float(g), 0.1, float(b))
+        return lt
+
+    saved = wlp._MAX_POINTS
+    try:
+        # force 4 chunks of 4 replicas
+        wlp._MAX_POINTS = 36 * 40 * 4 + 10
+        lt = build(False, np.ones(16))
+        assert lt._materialize()["ladder"] is not None
+        lt.qmc_timesteps_sample(300, replica_swap_freq=1)
+        _, es = lt.qmc_timesteps_sample(600, replica_swap_freq=1)
+        lt2 = build(True, np.ones(16))
+        lt2.qmc_timesteps_sample(300, replica_swap_freq=1)
+        _, es2 = lt2.qmc_timesteps_sample(600, replica_swap_freq=1)
+        assert (np.abs(es - es2) / np.maximum(np.abs(es2), 1.0)).max() < 0.08
+
+        wlp._MAX_POINTS = saved
+        gs = np.geomspace(0.5, 2.0, 16)
+        lt3 = build(False, gs)
+        assert lt3._materialize()["ladder"] is not None
+        lt3.qmc_timesteps_sample(300, replica_swap_freq=1)
+        _, es3 = lt3.qmc_timesteps_sample(600, replica_swap_freq=1)
+        lt4 = build(True, gs)
+        lt4.qmc_timesteps_sample(300, replica_swap_freq=1)
+        _, es4 = lt4.qmc_timesteps_sample(600, replica_swap_freq=1)
+        assert (np.abs(es3 - es4) / np.maximum(np.abs(es4), 1.0)).max() < 0.08
+    finally:
+        wlp._MAX_POINTS = saved
+        os.environ.pop("PMC_TEMPERING_NO_PALLAS", None)
