@@ -318,12 +318,27 @@ def _term_logw(cls: ArityClass, s, g_of_l):
     compile-time constant)."""
     R, _, Lt = s.shape
     bits = (jnp.take(s, cls.vars.reshape(-1), axis=1).reshape(R, *cls.vars.shape, Lt) > 0)
-    pw = (2 ** np.arange(cls.k, dtype=np.int32))[None, None, :, None]
-    idx = (bits.astype(jnp.int32) * pw).sum(2)  # [R, T, Lt]
-    idx_in = idx
-    idx_out = jnp.roll(idx, -1, axis=2)
-    t_ix = np.arange(cls.vars.shape[0])[None, :, None]
-    lw = cls.logT[t_ix, idx_in, idx_out]  # [R, T, Lt]
+    if cls.k == 1:
+        # 1-local terms: the 2x2 table lookup is 3 selects against per-term
+        # coefficient rows — cheaper than a 3-index vector gather on TPU
+        b_in = bits[:, :, 0, :]
+        b_out = jnp.roll(b_in, -1, axis=2)
+        t00 = cls.logT[None, :, 0, 0, None]
+        t01 = cls.logT[None, :, 0, 1, None]
+        t10 = cls.logT[None, :, 1, 0, None]
+        t11 = cls.logT[None, :, 1, 1, None]
+        lw = jnp.where(
+            b_in == b_out,
+            jnp.where(b_in, t11, t00),
+            jnp.where(b_in, t10, t01),
+        )
+    else:
+        pw = (2 ** np.arange(cls.k, dtype=np.int32))[None, None, :, None]
+        idx = (bits.astype(jnp.int32) * pw).sum(2)  # [R, T, Lt]
+        idx_in = idx
+        idx_out = jnp.roll(idx, -1, axis=2)
+        t_ix = np.arange(cls.vars.shape[0])[None, :, None]
+        lw = cls.logT[t_ix, idx_in, idx_out]  # [R, T, Lt]
     active = cls.group[None, :, None] == g_of_l[None, None, :]  # np const
     return jnp.where(active, lw, 0.0)
 
@@ -331,10 +346,23 @@ def _term_logw(cls: ArityClass, s, g_of_l):
 def _term_energy(cls: ArityClass, s, g_of_l):
     R, _, Lt = s.shape
     bits = (jnp.take(s, cls.vars.reshape(-1), axis=1).reshape(R, *cls.vars.shape, Lt) > 0)
-    pw = (2 ** np.arange(cls.k, dtype=np.int32))[None, None, :, None]
-    idx = (bits.astype(jnp.int32) * pw).sum(2)
-    t_ix = np.arange(cls.vars.shape[0])[None, :, None]
-    ev = cls.esti[t_ix, idx, jnp.roll(idx, -1, axis=2)]
+    if cls.k == 1:  # select against coefficient rows (see _term_logw)
+        b_in = bits[:, :, 0, :]
+        b_out = jnp.roll(b_in, -1, axis=2)
+        e00 = cls.esti[None, :, 0, 0, None]
+        e01 = cls.esti[None, :, 0, 1, None]
+        e10 = cls.esti[None, :, 1, 0, None]
+        e11 = cls.esti[None, :, 1, 1, None]
+        ev = jnp.where(
+            b_in == b_out,
+            jnp.where(b_in, e11, e00),
+            jnp.where(b_in, e10, e01),
+        )
+    else:
+        pw = (2 ** np.arange(cls.k, dtype=np.int32))[None, None, :, None]
+        idx = (bits.astype(jnp.int32) * pw).sum(2)
+        t_ix = np.arange(cls.vars.shape[0])[None, :, None]
+        ev = cls.esti[t_ix, idx, jnp.roll(idx, -1, axis=2)]
     active = cls.group[None, :, None] == g_of_l[None, None, :]
     return jnp.where(active, ev, 0.0)  # [R, T, Lt]
 
