@@ -157,6 +157,7 @@ class ArityClass(NamedTuple):
     group: np.ndarray  # [T] int32
     cvar: Tuple[np.ndarray, ...]  # per color: [T] var of that color in term, or -1
     term_ids: np.ndarray  # [T] original term indices (for bond counts)
+    diag_only: bool = False  # every term in the class is diagonal (ZZ-style)
 
 
 class Compiled(NamedTuple):
@@ -273,6 +274,10 @@ def compile_terms(nvars: int, terms: List[dict], dtau: float) -> Compiled:
                     if colors[v] == c:
                         cv[j] = v
             cvar.append(cv)
+        diag_only = all(
+            np.abs(terms[i]["mat"] - np.diag(np.diag(terms[i]["mat"]))).max() < 1e-12
+            for i in ids
+        )
         classes.append(
             ArityClass(
                 k=k,
@@ -282,6 +287,7 @@ def compile_terms(nvars: int, terms: List[dict], dtau: float) -> Compiled:
                 group=groups[ids],
                 cvar=tuple(cvar),
                 term_ids=np.asarray(ids),
+                diag_only=diag_only,
             )
         )
     kink_offs, kink_cnt = [], []
@@ -332,6 +338,17 @@ def _term_logw(cls: ArityClass, s, g_of_l):
             jnp.where(b_in, t11, t00),
             jnp.where(b_in, t10, t01),
         )
+    elif cls.k == 2 and cls.diag_only:
+        # fully diagonal 2-local class (ZZ bonds): the transfer forbids any
+        # change across it, and the diagonal value is one of 4 per-term
+        # coefficients — selects instead of a 3-index gather
+        pw = (2 ** np.arange(2, dtype=np.int32))[None, None, :, None]
+        idx = (bits.astype(jnp.int32) * pw).sum(2)
+        idx_out = jnp.roll(idx, -1, axis=2)
+        d = jnp.broadcast_to(cls.logT[None, :, 0, 0, None], idx.shape)
+        for v in (1, 2, 3):
+            d = jnp.where(idx == v, cls.logT[None, :, v, v, None], d)
+        lw = jnp.where(idx == idx_out, d, _NEG)
     else:
         pw = (2 ** np.arange(cls.k, dtype=np.int32))[None, None, :, None]
         idx = (bits.astype(jnp.int32) * pw).sum(2)  # [R, T, Lt]
@@ -358,6 +375,14 @@ def _term_energy(cls: ArityClass, s, g_of_l):
             jnp.where(b_in, e11, e00),
             jnp.where(b_in, e10, e01),
         )
+    elif cls.k == 2 and cls.diag_only:
+        pw = (2 ** np.arange(2, dtype=np.int32))[None, None, :, None]
+        idx = (bits.astype(jnp.int32) * pw).sum(2)
+        ev = jnp.broadcast_to(cls.esti[None, :, 0, 0, None], idx.shape)
+        for v in (1, 2, 3):
+            ev = jnp.where(idx == v, cls.esti[None, :, v, v, None], ev)
+        # mismatched in/out across a diagonal transfer is forbidden (weight
+        # e^-690); it never occurs in sampled states, value immaterial
     else:
         pw = (2 ** np.arange(cls.k, dtype=np.int32))[None, None, :, None]
         idx = (bits.astype(jnp.int32) * pw).sum(2)
