@@ -187,7 +187,7 @@ class ClassicIsing:
             self._spins = s2.reshape(R, self.nvars)
             return
         beta_arr = jnp.full(int(timesteps), float(beta), jnp.float32)
-        self._spins, self._keys = ce.run_steps(
+        self._spins, self._keys = ce.run_steps_chunked(
             self._graph_arrays(), self._bias, self._spins, self._keys, beta_arr, **margs
         )
 
@@ -225,7 +225,7 @@ class ClassicIsing:
             )
         if therm:
             beta_arr = jnp.full(therm, float(beta), jnp.float32)
-            self._spins, self._keys = ce.run_steps(
+            self._spins, self._keys = ce.run_steps_chunked(
                 self._graph_arrays(), self._bias, self._spins, self._keys, beta_arr, **margs
             )
         self._spins, self._keys, es, ss = ce.run_sampling(

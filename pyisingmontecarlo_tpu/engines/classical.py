@@ -387,6 +387,44 @@ def run_steps_energies(
     return s, keys, es.T  # [R, T]
 
 
+def _dispatch_chunk() -> int:
+    import os
+
+    try:
+        return max(0, int(os.environ.get("PMC_STEPS_PER_DISPATCH", "0")))
+    except ValueError:
+        return 0
+
+
+def run_steps_chunked(ga, bias, s, keys, beta_arr, *, collect_energies=False, **kw):
+    """run_steps / run_steps_energies with optional host-side dispatch
+    splitting (``PMC_STEPS_PER_DISPATCH=N``, default 0 = single dispatch).
+
+    Some TPU frontends kill a single XLA execution that runs for minutes
+    (observed on the axon tunnel: very long cluster-update scans on large
+    arbitrary graphs crash the worker). Splitting the step scan into bounded
+    chunks is **bit-exact**: the per-step key splits ride the (s, keys) carry,
+    so the chunked run consumes the identical RNG stream and produces the
+    identical trajectory as one dispatch (tests/test_classicising.py)."""
+    chunk = _dispatch_chunk()
+    T = int(beta_arr.shape[0])
+    if not chunk or T <= chunk:
+        if collect_energies:
+            return run_steps_energies(ga, bias, s, keys, beta_arr, **kw)
+        return run_steps(ga, bias, s, keys, beta_arr, **kw)
+    es_parts = []
+    for i in range(0, T, chunk):
+        ba = beta_arr[i : i + chunk]
+        if collect_energies:
+            s, keys, es = run_steps_energies(ga, bias, s, keys, ba, **kw)
+            es_parts.append(es)
+        else:
+            s, keys = run_steps(ga, bias, s, keys, ba, **kw)
+    if collect_energies:
+        return s, keys, jnp.concatenate(es_parts, axis=1)
+    return s, keys
+
+
 @partial(
     jax.jit,
     static_argnames=(

@@ -267,7 +267,7 @@ class Lattice:
         ga = self._graph_arrays()
         bias = jnp.asarray(self._bias_vector(), jnp.float32)
         s0, keys = self._classical_setup(num_experiments)
-        s, _ = ce.run_steps(
+        s, _ = ce.run_steps_chunked(
             ga, bias, s0, keys, beta_arr,
             **self._move_args(only_basic_moves, edge_move_importance_sampling),
         )
@@ -310,7 +310,7 @@ class Lattice:
         freq = int(sampling_freq) if sampling_freq else 1
         if therm:
             beta_arr = jnp.full(therm, float(beta), jnp.float32)
-            s0, keys = ce.run_steps(ga, bias, s0, keys, beta_arr, **margs)
+            s0, keys = ce.run_steps_chunked(ga, bias, s0, keys, beta_arr, **margs)
         _, _, es, ss = ce.run_sampling(
             ga, bias, s0, keys, jnp.float32(beta), int(timesteps), freq, **margs
         )
@@ -339,7 +339,7 @@ class Lattice:
         ga = self._graph_arrays()
         bias = jnp.asarray(self._bias_vector(), jnp.float32)
         s0, keys = self._classical_setup(num_experiments)
-        s, _ = ce.run_steps(
+        s, _ = ce.run_steps_chunked(
             ga, bias, s0, keys, beta_arr,
             **self._move_args(only_basic_moves, edge_move_importance_sampling),
         )
@@ -369,8 +369,8 @@ class Lattice:
         bias = jnp.asarray(self._bias_vector(), jnp.float32)
         s0, keys = self._classical_setup(num_experiments)
         beta_arr = jnp.asarray(self._anneal_schedule(betas, int(timesteps)), jnp.float32)
-        s, _, es = ce.run_steps_energies(
-            ga, bias, s0, keys, beta_arr,
+        s, _, es = ce.run_steps_chunked(
+            ga, bias, s0, keys, beta_arr, collect_energies=True,
             **self._move_args(only_basic_moves, edge_move_importance_sampling),
         )
         return np.asarray(es, np.float64), np.asarray(s == 1)

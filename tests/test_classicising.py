@@ -62,3 +62,37 @@ def test_longitudinal_field_thermodynamics():
     ci.run_monte_carlo(2.0, 60)
     m = np.where(ci.get_states(), 1, -1).mean()
     assert m < -0.9
+
+
+def test_chunked_dispatch_bit_exact(monkeypatch):
+    # PMC_STEPS_PER_DISPATCH splits the step scan across several XLA
+    # dispatches; the (state, keys) carry preserves the exact RNG stream, so
+    # trajectories must be bit-identical to the single-dispatch run.
+    from pyisingmontecarlo_tpu.models.lattices import triangular_edges
+
+    edges = triangular_edges(4, j=1.0)  # not a square torus -> graph engine
+    ref = ClassicIsing(edges, num_experiments=4, seed=9)
+    ref.run_monte_carlo(0.8, 13)
+    s_ref = ref.get_states()
+
+    monkeypatch.setenv("PMC_STEPS_PER_DISPATCH", "5")  # 5 + 5 + 3
+    chk = ClassicIsing(edges, num_experiments=4, seed=9)
+    chk.run_monte_carlo(0.8, 13)
+    assert (chk.get_states() == s_ref).all()
+
+
+def test_chunked_dispatch_energies_bit_exact(monkeypatch):
+    from pyisingmontecarlo_tpu.lattice import Lattice
+    from pyisingmontecarlo_tpu.models.lattices import triangular_edges
+
+    edges = triangular_edges(4, j=1.0)
+    betas = [(0, 0.2), (11, 2.0)]
+    es_ref, ss_ref = Lattice(edges, seed_gen=3).run_monte_carlo_annealing_and_get_energies(
+        betas, 11, 4
+    )
+    monkeypatch.setenv("PMC_STEPS_PER_DISPATCH", "4")
+    es_chk, ss_chk = Lattice(edges, seed_gen=3).run_monte_carlo_annealing_and_get_energies(
+        betas, 11, 4
+    )
+    assert (es_chk == es_ref).all()
+    assert (ss_chk == ss_ref).all()
