@@ -173,6 +173,8 @@ class Compiled(NamedTuple):
     # contains a term acting off-diagonally on it
     kink_offs: Tuple[np.ndarray, ...]
     kink_cnt: Tuple[np.ndarray, ...]
+    # [nvars, G] bool: kink of variable v allowed across transfers of group g
+    kinkable: np.ndarray
 
 
 def _color_conflicts(nvars: int, terms: List[dict]) -> np.ndarray:
@@ -303,6 +305,10 @@ def compile_terms(nvars: int, terms: List[dict], dtau: float) -> Compiled:
             offs[j, : len(gs)] = gs
         kink_offs.append(offs)
         kink_cnt.append(cnt)
+    kinkable = np.zeros((nvars, G), bool)
+    for v in range(nvars):
+        for g in offdiag_groups[v]:
+            kinkable[v, g] = True
     return Compiled(
         classes=tuple(classes),
         touched=touched,
@@ -312,7 +318,35 @@ def compile_terms(nvars: int, terms: List[dict], dtau: float) -> Compiled:
         nterms=len(terms),
         kink_offs=tuple(kink_offs),
         kink_cnt=tuple(kink_cnt),
+        kinkable=kinkable,
     )
+
+
+def regrid_worldline(s_old, comp_new: Compiled, Lt_new: int) -> np.ndarray:
+    """Resample worldlines [R, nvars, Lt_old] onto a Lt_new sub-slice grid and
+    repair kinks the new term set forbids.
+
+    Used when the term set changes mid-run (the reference applies new
+    interactions to existing simulators, /root/reference/src/qmcrunner.rs:94-101
+    — the operator string survives because SSE stores term applications, and a
+    configuration is valid under any superset of terms). On the worldline side
+    the grid length Lt = ltau * G can change with G, and the new delta
+    constraints may forbid kinks at their regridded positions, so: nearest-
+    position resample, then a forward pass forcing s[l+1] = s[l] wherever the
+    kink across transfer l is not kinkable under the new compilation; any line
+    left with a forbidden wrap kink is flattened to its tau=0 value. The result
+    has strictly positive weight and the sweeps re-equilibrate from it."""
+    R, nvars, Lt_old = s_old.shape
+    idx = (np.arange(Lt_new) * Lt_old // Lt_new).astype(np.int32)
+    s = np.asarray(jnp.take(s_old, jnp.asarray(idx), axis=2)).copy()
+    allowed = comp_new.kinkable[:, np.arange(Lt_new) % comp_new.G]  # [nvars, Lt]
+    for l in range(Lt_new - 1):
+        forb = ~allowed[:, l]
+        if forb.any():
+            s[:, forb, l + 1] = s[:, forb, l]
+    wrap_bad = (~allowed[:, Lt_new - 1])[None, :] & (s[:, :, -1] != s[:, :, 0])
+    s = np.where(wrap_bad[:, :, None], s[:, :, 0:1], s)
+    return s
 
 
 # ------------------------------------------------------------------ weights

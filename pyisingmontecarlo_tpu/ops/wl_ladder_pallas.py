@@ -21,8 +21,10 @@ parameter planes** (lane = replica * nvars + site):
 ONE sweep per call, designed to be invoked INSIDE the tempering jit loop
 (tempering.run_tempering*): the swap phases, energy accumulation, and state
 collection stay in XLA around it, so there are no host round-trips. Seeding:
-a traced int32 scalar per call, drawn from the loop's threefry keys, keeps
-runs reproducible.
+per-replica int32 seeds derived from each replica's threefry key every sweep
+(lane-keyed counter hash, ops/lanerng.py), so a replica's bits are a function
+of its own key only — independent of chunking, and correct per shard when the
+sweep runs inside shard_map (parallel/tempering.py).
 
 Update composition matches tempering._mixed_sweep minus the rvb family
 (ladders with rvb enabled fall back to XLA): 4 site phases ((color) x (tau
@@ -39,6 +41,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from . import lanerng
 
 __all__ = ["supported_ladder", "detect_topology", "build_planes", "ladder_sweep"]
 
@@ -151,17 +155,20 @@ def build_planes(kind: str, size: int, nvars: int, edge_a, edge_b, edge_j,
 
 
 def _kernel(
-    seed_ref, s_in, j1, j2, dt, kt, hh, pb, s_out, sS,
+    s_in, seed_in, j1, j2, dt, kt, hh, pb, s_out, sS,
     *, kind: str, size: int, nvars: int,
 ):
-    c = pl.program_id(0)
-    pltpu.prng_seed(seed_ref[0] + c)  # distinct stream per replica chunk
     L, RN = sS.shape
     sS[:] = s_in[0].astype(jnp.int32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (L, RN), 1)
     i = lane % nvars
     tau = jax.lax.broadcasted_iota(jnp.int32, (L, RN), 0)
     ksteps = max(1, int(math.ceil(math.log2(L))))
+    # lane-keyed counter RNG: seeds are fresh per sweep (derived from each
+    # replica's evolving threefry key by the caller), so the draw counter is
+    # just the within-sweep index 0..7
+    seed_b = jnp.broadcast_to(seed_in[0, 0:1, :], (L, RN))
+    pos1, pos2 = lanerng.make_pos_mix(tau, i, nvars)
     dtb = jnp.broadcast_to(dt[0], (L, RN))
     ktb = jnp.broadcast_to(kt[0], (L, RN))
     hb = jnp.broadcast_to(hh[0], (L, RN))
@@ -214,9 +221,8 @@ def _kernel(
             xm = pickm(x_lo, j2b * sf, nvars - size, size)
             return yp + ym + xp + xm
 
-    def rand_u():
-        rb = pltpu.bitcast(pltpu.prng_random_bits((L, RN)), jnp.int32)
-        rb31 = jax.lax.shift_right_logical(rb, 1)
+    def rand_u(ctr):
+        rb31 = lanerng.lane_draw31(seed_b, pos1, pos2, jnp.int32(ctr))
         u = rb31.astype(jnp.float32) * jnp.float32(1.0 / 2147483648.0) + jnp.float32(
             0.5 / 2147483648.0
         )
@@ -224,24 +230,24 @@ def _kernel(
         # and silently force rejection)
         return jnp.minimum(u, jnp.float32(1.0 - 1.2e-7))
 
-    def site_phase(color, parity):
+    def site_phase(ctr, color, parity):
         s = sS[:]
         sf = s.astype(jnp.float32)
         F = field(sf)
         ud = (roll_up(s, 1) + roll_dn(s, 1)).astype(jnp.float32)
         dE = -2.0 * sf * (dtb * (F + hb) - ktb * ud)
-        u = rand_u()
+        u = rand_u(ctr)
         # Glauber via logit: u < sigmoid(-dE)  <=>  log(u) - log(1-u) < -dE
         acc = jnp.log(u) - jnp.log(1.0 - u) < -dE
         cm = cmask0 if color == 0 else ~cmask0
         acc = acc & cm & ((tau % 2) == parity)
         sS[:] = jnp.where(acc, -s, s)
 
-    def cluster_phase(color):
+    def cluster_phase(ctr, color):
         s = sS[:]
         sf = s.astype(jnp.float32)
         aligned = s == roll_up(s, 1)
-        active = (aligned & (rand_u() < pbb)).astype(jnp.int32)
+        active = (aligned & (rand_u(ctr) < pbb)).astype(jnp.int32)
         de = -2.0 * sf * dtb * (field(sf) + hb)
         acc = de
         reach = active
@@ -256,7 +262,7 @@ def _kernel(
         )
         de_tot = jnp.broadcast_to(jnp.sum(de, axis=0, keepdims=True), (L, RN))
         acc = jnp.where(allact == 1, de_tot, acc)
-        log_u = jnp.log(rand_u())
+        log_u = jnp.log(rand_u(ctr + 1))
         flip = jnp.where((heads == 1) & (log_u < -acc), 1, 0)
         conn = roll_dn(active, 1)
         prop = flip
@@ -269,23 +275,27 @@ def _kernel(
         cm = cmask0 if color == 0 else ~cmask0
         sS[:] = jnp.where((prop == 1) & cm, -s, s)
 
+    d = 0
     for color in (0, 1):
         for parity in (0, 1):
-            site_phase(color, parity)
+            site_phase(d, color, parity)
+            d += 1
     for color in (0, 1):
-        cluster_phase(color)
+        cluster_phase(d, color)  # uses draws d and d+1
+        d += 2
     s_out[0] = sS[:].astype(jnp.int8)
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "size", "nvars"))
-def _call(s, seed, j1, j2, dt, kt, hh, pb, kind: str, size: int, nvars: int):
+def _call(s, seedp, j1, j2, dt, kt, hh, pb, kind: str, size: int, nvars: int):
     C, L, RNc = s.shape
     sspec = pl.BlockSpec((1, L, RNc), lambda c, *_: (c, 0, 0), memory_space=pltpu.VMEM)
+    seed_spec = pl.BlockSpec((1, 8, RNc), lambda c, *_: (c, 0, 0), memory_space=pltpu.VMEM)
     pspec = pl.BlockSpec((1, 1, RNc), lambda c, *_: (c, 0, 0), memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,  # seed
+        num_scalar_prefetch=0,
         grid=(C,),
-        in_specs=[sspec] + [pspec] * 6,
+        in_specs=[sspec, seed_spec] + [pspec] * 6,
         out_specs=sspec,
         scratch_shapes=[pltpu.VMEM((L, RNc), jnp.int32)],
     )
@@ -299,15 +309,16 @@ def _call(s, seed, j1, j2, dt, kt, hh, pb, kind: str, size: int, nvars: int):
             bytes_accessed=2 * C * L * RNc,
             transcendentals=12 * C * L * RNc,
         ),
-    )(seed, s, j1, j2, dt, kt, hh, pb)
+    )(s, seedp, j1, j2, dt, kt, hh, pb)
 
 
-def ladder_sweep(s, seed, planes, kind: str, size: int, nvars: int):
+def ladder_sweep(s, seeds, planes, kind: str, size: int, nvars: int):
     """One full worldline sweep on ``s[R, nvars, L]`` int8 with the quenched
-    per-lane parameter ``planes`` (from build_planes). ``seed`` is a traced
-    int32 [1]. Jittable — call inside the tempering loop. Ladders too large
-    for one program chunk replicas over the grid (distinct PRNG stream per
-    chunk, seeded seed + chunk_index)."""
+    per-lane parameter ``planes`` (from build_planes). ``seeds`` is a traced
+    int32 [R] — one per replica, fresh each sweep (derive from the loop's
+    threefry keys via lanerng.replica_seeds_from_keys). Jittable — call
+    inside the tempering loop. Ladders too large for one program chunk
+    replicas over the grid; every replica's bits depend on its own seed only."""
     jplanes, dt, kt, hh, pb = planes
     j1 = jplanes[0]
     j2 = jplanes[1] if len(jplanes) > 1 else jplanes[0]
@@ -322,8 +333,8 @@ def ladder_sweep(s, seed, planes, kind: str, size: int, nvars: int):
     s2 = jnp.transpose(s, (2, 0, 1)).reshape(L, R * nv)
     s2 = s2.reshape(L, C, RNc).transpose(1, 0, 2)  # [C, L, RNc]
     s2 = _call(
-        s2, seed, chunked(j1), chunked(j2), chunked(dt), chunked(kt),
-        chunked(hh), chunked(pb), kind, int(size), int(nvars),
+        s2, lanerng.seed_plane(seeds, rc, nv), chunked(j1), chunked(j2),
+        chunked(dt), chunked(kt), chunked(hh), chunked(pb), kind, int(size), int(nvars),
     )
     s2 = s2.transpose(1, 0, 2).reshape(L, R * nv)
     return jnp.transpose(s2.reshape(L, R, nv), (1, 2, 0))

@@ -14,10 +14,13 @@ round-trips of the worldline tensor. This kernel removes both:
   small systems (a one-replica-per-program grid leaves 7/8 of each tile idle
   for a 128-site chain). Spatial neighbor rolls use boundary-fix selects so
   lanes never couple across replicas;
-- randomness is the TPU **hardware PRNG**, seeded per replica-chunk (same
-  seeds + same batch shape => identical trajectories; the XLA path keeps the
-  per-replica threefry streams of the reproducibility contract,
-  lattice.rs:83-91);
+- randomness is a **lane-keyed counter hash** (ops/lanerng.py): every
+  element's bits are a pure function of (its replica's 32-bit seed, its
+  replica-local (tau, site) position, the draw counter) — so a replica's
+  trajectory depends only on its own seed, never on the batch size or the
+  VMEM chunking (the reference's per-experiment reproducibility contract,
+  lattice.rs:83-91, which the round-2 chunk-folded hardware-PRNG seeding
+  broke);
 - site-phase Glauber acceptance uses integer threshold tables (at most
   2x5x3 = 30 distinct dE values for uniform J, global h), no per-site
   transcendentals — same scheme as ops/sq2d_pallas.py;
@@ -48,6 +51,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from . import lanerng
 
 __all__ = ["supported", "supported_sample", "run_wl_sweeps_pallas", "run_wl_sample_pallas"]
 
@@ -146,20 +151,24 @@ def _select_cde(cde_ref, s, bsum):
     return jnp.where(s > 0, chain(5), chain(0))
 
 
-def _rand31(shape):
-    rb = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.int32)
-    return jax.lax.shift_right_logical(rb, 1)
+_DRAWS_PER_SWEEP = 8  # 4 site phases + 2 cluster phases x (bond, uniform)
 
 
-def _build_ops(thr_ref, cde_ref, pb_ref, accs_out, sS, kind: str, size: int, nvars: int):
+def _build_ops(seed_ref, thr_ref, cde_ref, pb_ref, accs_out, sS, kind: str, size: int, nvars: int):
     """Shared sweep machinery over the VMEM plane sS [L, RN]: returns
-    (full_sweep, ) where full_sweep() runs the 4 site phases + 2 FK cluster
-    phases + per-sweep estimator accumulation."""
+    full_sweep(t) which runs the 4 site phases + 2 FK cluster phases +
+    per-sweep estimator accumulation for global sweep index ``t``."""
     L, RN = sS.shape
     lane = jax.lax.broadcasted_iota(jnp.int32, (L, RN), 1)
     i = lane % nvars  # site index within its replica
     tau = jax.lax.broadcasted_iota(jnp.int32, (L, RN), 0)
     ksteps = max(1, int(math.ceil(math.log2(L))))
+    # lane-keyed counter RNG (per-replica reproducibility; module docstring)
+    seed_b = jnp.broadcast_to(seed_ref[0:1, :], (L, RN))
+    pos1, pos2 = lanerng.make_pos_mix(tau, i, nvars)
+
+    def _rand31(ctr):
+        return lanerng.lane_draw31(seed_b, pos1, pos2, ctr)
 
     def roll_up(x, k):  # x[t+k] at position t (forward along the tau ring)
         return pltpu.roll(x, L - k, 0)
@@ -201,11 +210,11 @@ def _build_ops(thr_ref, cde_ref, pb_ref, accs_out, sS, kind: str, size: int, nva
             xp = jnp.where(x == size - 1, lget_neg(s, nvars - size), lget(s, size))
             return (yp, xp)
 
-    def site_phase(color: int, parity: int):
+    def site_phase(ctr, color: int, parity: int):
         s = sS[:]
         bsum = neighbor_sum(s)
         ud = roll_up(s, 1) + roll_dn(s, 1)
-        rb = _rand31((L, RN))
+        rb = _rand31(ctr)
         if _EXP_ACCEPT:
             # Glauber via one exp: u < 1/(1+e^dE)  <=>  u*(1+e^dE) < 1
             sf = s.astype(jnp.float32)
@@ -219,11 +228,11 @@ def _build_ops(thr_ref, cde_ref, pb_ref, accs_out, sS, kind: str, size: int, nva
         acc = acc & cm & ((tau % 2) == parity)
         sS[:] = jnp.where(acc, -s, s)
 
-    def cluster_phase(color: int):
+    def cluster_phase(ctr, color: int):
         s = sS[:]
         aligned = s == roll_up(s, 1)  # time bond t -> t+1
         # masks live as 0/1 int32: Mosaic cannot rotate i1 vectors
-        active = (aligned & (_rand31((L, RN)) < pb_ref[0])).astype(jnp.int32)
+        active = (aligned & (_rand31(ctr) < pb_ref[0])).astype(jnp.int32)
         de = _select_cde(cde_ref, s, neighbor_sum(s))
         # forward segmented run-sum + connectivity by pointer doubling
         acc = de
@@ -241,7 +250,7 @@ def _build_ops(thr_ref, cde_ref, pb_ref, accs_out, sS, kind: str, size: int, nva
         )
         de_tot = jnp.broadcast_to(jnp.sum(de, axis=0, keepdims=True), (L, RN))
         acc = jnp.where(allact == 1, de_tot, acc)
-        u31 = _rand31((L, RN)).astype(jnp.float32)
+        u31 = _rand31(ctr + 1).astype(jnp.float32)
         log_u = jnp.log((u31 + 0.5) * (1.0 / 2147483648.0))
         flip = jnp.where((heads == 1) & (log_u < -acc), 1, 0)
         # propagate the head decision forward across active bonds
@@ -266,35 +275,39 @@ def _build_ops(thr_ref, cde_ref, pb_ref, accs_out, sS, kind: str, size: int, nva
         accs_out[0, 1] += s.astype(jnp.float32)
         accs_out[0, 2] += al.astype(jnp.float32)
 
-    def full_sweep():
+    def full_sweep(t):
+        base = t * _DRAWS_PER_SWEEP
+        d = 0
         for color in (0, 1):
             for parity in (0, 1):
-                site_phase(color, parity)
+                site_phase(base + d, color, parity)
+                d += 1
         for color in (0, 1):
-            cluster_phase(color)
+            cluster_phase(base + d, color)  # uses draws d and d+1
+            d += 2
         accumulate()
 
     return full_sweep
 
 
 def _kernel(
-    seeds_ref, nsweeps_ref, thr_ref, cde_ref, pb_ref,
-    s_in, s_out, accs_out, sS,
+    nsweeps_ref, thr_ref, cde_ref, pb_ref,
+    s_in, seed_in, s_out, accs_out, sS,
     *, kind: str, size: int, nvars: int,
 ):
-    c = pl.program_id(0)
-    pltpu.prng_seed(seeds_ref[c])
     L, RN = sS.shape
     sS[:] = s_in[0].astype(jnp.int32)
     accs_out[0] = jnp.zeros((3, L, RN), jnp.float32)
-    full_sweep = _build_ops(thr_ref, cde_ref, pb_ref, accs_out, sS, kind, size, nvars)
-    jax.lax.fori_loop(0, nsweeps_ref[0], lambda _, carry: (full_sweep(), carry)[1], 0)
+    full_sweep = _build_ops(
+        seed_in[0], thr_ref, cde_ref, pb_ref, accs_out, sS, kind, size, nvars
+    )
+    jax.lax.fori_loop(0, nsweeps_ref[0], lambda t, carry: (full_sweep(t), carry)[1], 0)
     s_out[0] = sS[:].astype(jnp.int8)
 
 
 def _kernel_sample(
-    seeds_ref, thr_ref, cde_ref, pb_ref,
-    s_in, s_out, accs_out, samples_out, sS, stage, sem,
+    thr_ref, cde_ref, pb_ref,
+    s_in, seed_in, s_out, accs_out, samples_out, sS, stage, sem,
     *, kind: str, size: int, nvars: int, freq: int, nsamples: int, rem: int,
 ):
     """Sampling variant: ``nsamples`` blocks of ``freq`` sweeps; after each
@@ -303,14 +316,16 @@ def _kernel_sample(
     Mirrors engines/worldline.run_sweeps_sample (estimator accumulated every
     sweep, samples after each freq-th)."""
     c = pl.program_id(0)
-    pltpu.prng_seed(seeds_ref[c])
     L, RN = sS.shape
     sS[:] = s_in[0].astype(jnp.int32)
     accs_out[0] = jnp.zeros((3, L, RN), jnp.float32)
-    full_sweep = _build_ops(thr_ref, cde_ref, pb_ref, accs_out, sS, kind, size, nvars)
+    full_sweep = _build_ops(
+        seed_in[0], thr_ref, cde_ref, pb_ref, accs_out, sS, kind, size, nvars
+    )
 
     def block(t, carry):
-        jax.lax.fori_loop(0, freq, lambda _, cc: (full_sweep(), cc)[1], 0)
+        t0 = t * freq
+        jax.lax.fori_loop(t0, t0 + freq, lambda tt, cc: (full_sweep(tt), cc)[1], 0)
         # slice-0 states of the chunk, broadcast over the 8-row stage (the
         # HBM sample buffer carries a dummy 8-row dim: int8 tiling requires
         # sublane extents that a 1-row slice cannot satisfy)
@@ -325,21 +340,24 @@ def _kernel_sample(
         return carry
 
     jax.lax.fori_loop(0, nsamples, block, 0)
-    jax.lax.fori_loop(0, rem, lambda _, cc: (full_sweep(), cc)[1], 0)
+    jax.lax.fori_loop(
+        nsamples * freq, nsamples * freq + rem, lambda tt, cc: (full_sweep(tt), cc)[1], 0
+    )
     s_out[0] = sS[:].astype(jnp.int8)
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "size", "nvars"))
-def _call(s, seeds, nsweeps, thr, cde, pb, kind: str, size: int, nvars: int):
+def _call(s, seedp, nsweeps, thr, cde, pb, kind: str, size: int, nvars: int):
     C, L, RN = s.shape
     spec = pl.BlockSpec((1, L, RN), lambda c, *_: (c, 0, 0), memory_space=pltpu.VMEM)
+    seed_spec = pl.BlockSpec((1, 8, RN), lambda c, *_: (c, 0, 0), memory_space=pltpu.VMEM)
     acc_spec = pl.BlockSpec(
         (1, 3, L, RN), lambda c, *_: (c, 0, 0, 0), memory_space=pltpu.VMEM
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,  # seeds, nsweeps, thresholds, cluster dE, pbond
+        num_scalar_prefetch=4,  # nsweeps, thresholds, cluster dE, pbond
         grid=(C,),
-        in_specs=[spec],
+        in_specs=[spec, seed_spec],
         out_specs=(spec, acc_spec),
         scratch_shapes=[pltpu.VMEM((L, RN), jnp.int32)],
     )
@@ -356,24 +374,25 @@ def _call(s, seeds, nsweeps, thr, cde, pb, kind: str, size: int, nvars: int):
             bytes_accessed=17 * C * L * RN,
             transcendentals=2 * C * L * RN,
         ),
-    )(seeds, nsweeps, thr, cde, pb, s)
+    )(nsweeps, thr, cde, pb, s, seedp)
 
 
 @functools.partial(
     jax.jit, static_argnames=("kind", "size", "nvars", "freq", "nsamples", "rem")
 )
-def _call_sample(s, seeds, thr, cde, pb, kind: str, size: int, nvars: int,
+def _call_sample(s, seedp, thr, cde, pb, kind: str, size: int, nvars: int,
                  freq: int, nsamples: int, rem: int):
     C, L, RN = s.shape
     spec = pl.BlockSpec((1, L, RN), lambda c, *_: (c, 0, 0), memory_space=pltpu.VMEM)
+    seed_spec = pl.BlockSpec((1, 8, RN), lambda c, *_: (c, 0, 0), memory_space=pltpu.VMEM)
     acc_spec = pl.BlockSpec(
         (1, 3, L, RN), lambda c, *_: (c, 0, 0, 0), memory_space=pltpu.VMEM
     )
     samp_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,  # seeds, thresholds, cluster dE, pbond
+        num_scalar_prefetch=3,  # thresholds, cluster dE, pbond
         grid=(C,),
-        in_specs=[spec],
+        in_specs=[spec, seed_spec],
         out_specs=(spec, acc_spec, samp_spec),
         scratch_shapes=[
             pltpu.VMEM((L, RN), jnp.int32),
@@ -399,7 +418,7 @@ def _call_sample(s, seeds, thr, cde, pb, kind: str, size: int, nvars: int,
             bytes_accessed=17 * C * L * RN,
             transcendentals=2 * C * L * RN * nsweeps,
         ),
-    )(seeds, thr, cde, pb, s)
+    )(thr, cde, pb, s, seedp)
 
 
 def run_wl_sample_pallas(s_tau_last, seeds_u32, freq: int, nsamples: int, rem: int,
@@ -421,7 +440,7 @@ def run_wl_sample_pallas(s_tau_last, seeds_u32, freq: int, nsamples: int, rem: i
         C, L, rc * nvars
     )
     s, accs, samples = _call_sample(
-        s, _fold_seeds(seeds_u32, rc), jnp.asarray(thr), jnp.asarray(cde),
+        s, lanerng.seed_plane(seeds_u32, rc, nvars), jnp.asarray(thr), jnp.asarray(cde),
         jnp.asarray(pb), kind, int(size), int(nvars), int(freq), int(nsamples), int(rem),
     )
     s_back = jnp.transpose(
@@ -438,15 +457,6 @@ def run_wl_sample_pallas(s_tau_last, seeds_u32, freq: int, nsamples: int, rem: i
     ediag = (float(j) * sb + float(h) * sh) / ltau
     eoff = -float(gamma) * (tanh_a * al + coth_a * (ntb - al)) / ltau
     return s_back, ediag + eoff, samples
-
-
-def _fold_seeds(seeds_u32, rc: int):
-    """One int32 PRNG seed per replica-chunk from the per-replica seeds."""
-    s = np.asarray(jax.device_get(seeds_u32)).astype(np.uint64).reshape(-1, rc)
-    out = np.zeros(s.shape[0], np.uint64)
-    for k in range(rc):
-        out ^= s[:, k] * np.uint64(0x9E3779B97F4A7C15) + np.uint64(k)
-    return jnp.asarray((out & np.uint64(0x7FFFFFFF)).astype(np.int32))
 
 
 def run_wl_sweeps_pallas(s_tau_last, seeds_u32, nsweeps, dense,
@@ -470,7 +480,7 @@ def run_wl_sweeps_pallas(s_tau_last, seeds_u32, nsweeps, dense,
     )
     nsweeps_arr = jnp.asarray(nsweeps, jnp.int32).reshape(1)
     s, accs = _call(
-        s, _fold_seeds(seeds_u32, rc), nsweeps_arr, jnp.asarray(thr),
+        s, lanerng.seed_plane(seeds_u32, rc, nvars), nsweeps_arr, jnp.asarray(thr),
         jnp.asarray(cde), jnp.asarray(pb), kind, int(size), int(nvars),
     )
     s_back = jnp.transpose(

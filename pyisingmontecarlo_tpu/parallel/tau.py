@@ -44,6 +44,8 @@ import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..engines import worldline as wl
+
 try:  # jax >= 0.4.35 exposes shard_map at top level
     from jax import shard_map as _shard_map
 except ImportError:  # pragma: no cover
@@ -119,17 +121,15 @@ def _cluster_phase(s, key, dtau, ktau, field, cmask0, h, color, sphase, axis_nam
     if Ll > 1:
         aligned = s[:, :, :-1] == s[:, :, 1:]
         active = aligned & (u_bond < p_bond)  # bond t -> t+1, t < Ll-1
-        inact = (~active).astype(jnp.int32)
-        Q = jnp.concatenate(
-            [jnp.zeros((R, nvars, 1), jnp.int32), jnp.cumsum(inact, axis=-1)], axis=-1
-        )  # Q[t] = inactive bonds below t: equal Q <=> same open segment
-        M = (Q[..., :, None] == Q[..., None, :]).astype(_F)  # [R, nvars, Ll, Ll]
-        heads = jnp.concatenate(
-            [jnp.ones((R, nvars, 1), bool), ~active], axis=-1
-        )  # t starts a segment iff bond (t-1 -> t) inactive (t=0 always)
     else:
-        M = jnp.ones((R, nvars, 1, 1), _F)
-        heads = jnp.ones((R, nvars, 1), bool)
+        active = jnp.zeros((R, nvars, 0), bool)
+    # open segments are the ring case with the last bond pinned inactive:
+    # pad and reuse the O(L log L) pointer-doubling scan (the padded bond
+    # makes the circular rolls behave as open-chain shifts, the fully-frozen
+    # special case can never trigger, and t=0 is a head exactly when segment
+    # semantics say so). Replaces the [Ll, Ll] membership einsums
+    # (VERDICT round-2 weak 5).
+    act = jnp.concatenate([active, jnp.zeros((R, nvars, 1), bool)], axis=-1)
     # per-slice dE: spatial + longitudinal everywhere, plus the unfrozen
     # cross-shard time bonds on the slab edges
     dn, up_h = _halos(s, axis_name)
@@ -138,9 +138,7 @@ def _cluster_phase(s, key, dtau, ktau, field, cmask0, h, color, sphase, axis_nam
     edge = edge.at[:, :, 0].add(2.0 * ktau * sf[:, :, 0] * dn[:, :, 0].astype(_F))
     edge = edge.at[:, :, -1].add(2.0 * ktau * sf[:, :, -1] * up_h[:, :, 0].astype(_F))
     dE_site = dE_site + edge
-    dE_c = jnp.einsum("...ts,...s->...t", M, dE_site)
-    u_c = jnp.einsum("...ts,...s->...t", M, u_acc * heads.astype(_F))
-    flip = jnp.log(u_c) < -dE_c
+    flip = wl._ring_cluster_flip(act, dE_site, u_acc)
     cmask = cmask0 == (color == 0)
     my_turn = (lax.axis_index(axis_name) % 2) == sphase
     return jnp.where(flip & cmask[None, :, None] & my_turn, -s, s)

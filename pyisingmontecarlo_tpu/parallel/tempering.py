@@ -8,7 +8,7 @@ sequential single-threaded swap barrier (tempering.rs:191-194) becomes a pair
 of conflict-free even/odd exchange phases riding the interconnect.
 
 The implementation is the *same* jitted program as the single-chip ladder
-(tempering.run_tempering): GSPMD propagates the input shardings through the
+(tempering.run_tempering_sampled): GSPMD propagates the input shardings through the
 sweeps (embarrassingly parallel over replicas) and inserts collectives only at
 the swap. ``shard_ladder`` places a LatticeTempering's arrays on the mesh.
 """

@@ -14,10 +14,10 @@ Notes on parity:
 - ``add_qmc`` replays all recorded interactions onto the new instance
   (qmcrunner.rs:86-88) — here interactions are container state, so appending a
   replica automatically shares them.
-- interactions must be recorded before the first run; the worldline grid is
-  compiled from the term set at first use and new replicas may be added at any
-  time, but new interactions after running raise ValueError (the reference
-  would silently diverge across instances instead).
+- interactions may be added at any time, including between runs: the reference
+  applies a new interaction to all existing simulators (qmcrunner.rs:94-101);
+  here the worldline grid is recompiled from the new term set and the current
+  configuration regridded onto it (engines/generic.regrid_worldline).
 - no checkpointing, matching the reference (SURVEY.md section 2.1 row 5).
 """
 
@@ -91,30 +91,45 @@ class QmcRunner:
             self._keys = jnp.concatenate([self._keys, key], axis=0)
             self._init_states = jnp.concatenate([self._init_states, s0], axis=0)
 
-    def _check_mutable(self):
-        if self._w is not None:
-            raise ValueError("Cannot add interactions after running the simulators")
+    def _recompile(self) -> None:
+        """Apply a term-set change to already-materialized simulators.
+
+        The reference applies new interactions to every *existing* simulator
+        mid-run (qmcrunner.rs:94-101 iterates ``self.qmc`` calling
+        ``make_interaction``) — a program that builds its Hamiltonian
+        incrementally between equilibration runs must keep its state. Here the
+        worldline grid is recompiled from the new term set and the current
+        configuration is regridded onto it (engines/generic.regrid_worldline)."""
+        old = self._w
+        if old is None:
+            return
+        self._w = ge.GenericWorldline(
+            self.terms, old.beta, old.keys, old.s[:, :, 0], self.do_loop_updates
+        )
+        self._w.s = jnp.asarray(
+            ge.regrid_worldline(old.s, self._w.comp, self._w.Lt), old.s.dtype
+        )
 
     def add_interaction(self, mat: Sequence[float], vars: Sequence[int]) -> None:
         """qmcrunner.rs:94-101 — flattened 2^k x 2^k matrix over k variables."""
-        self._check_mutable()
         self.terms.add(mat, vars, diagonal=False, with_offset=False)
+        self._recompile()
 
     def add_interaction_and_offset(self, mat: Sequence[float], vars: Sequence[int]) -> None:
         """qmcrunner.rs:104-111 — shifts the matrix to non-negative weights and
         tracks the offset."""
-        self._check_mutable()
         self.terms.add(mat, vars, diagonal=False, with_offset=True)
+        self._recompile()
 
     def add_diagonal_interaction(self, mat: Sequence[float], vars: Sequence[int]) -> None:
         """qmcrunner.rs:114-121 — 2^k diagonal."""
-        self._check_mutable()
         self.terms.add(mat, vars, diagonal=True, with_offset=False)
+        self._recompile()
 
     def add_diagonal_interaction_and_offset(self, mat, vars) -> None:
         """qmcrunner.rs:124-135."""
-        self._check_mutable()
         self.terms.add(mat, vars, diagonal=True, with_offset=True)
+        self._recompile()
 
     def set_do_heatbath(self, enable: bool) -> None:
         """qmcrunner.rs:138-143."""

@@ -54,7 +54,7 @@ class MasterRng:
 
     def clone(self) -> "MasterRng":
         other = MasterRng(self.seed_gen)
-        other._gen = np.random.Generator(self._gen.bit_generator.state and np.random.PCG64())
+        other._gen = np.random.Generator(np.random.PCG64())
         other._gen.bit_generator.state = self._gen.bit_generator.state
         return other
 

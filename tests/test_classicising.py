@@ -81,6 +81,27 @@ def test_chunked_dispatch_bit_exact(monkeypatch):
     assert (chk.get_states() == s_ref).all()
 
 
+def test_auto_chunked_dispatch_bit_exact(monkeypatch):
+    # with no env var set, long runs pick steps_per_dispatch automatically
+    # from a timed probe (engines/classical._auto_chunk); the trajectory must
+    # still be bit-identical to a forced single dispatch
+    from pyisingmontecarlo_tpu.engines import classical as ce
+    from pyisingmontecarlo_tpu.models.lattices import triangular_edges
+
+    edges = triangular_edges(4, j=1.0)
+    T = ce._AUTO_MIN_STEPS + 9  # long enough to trigger the auto probe
+    monkeypatch.setenv("PMC_STEPS_PER_DISPATCH", str(10 * T))  # single dispatch
+    ref = ClassicIsing(edges, num_experiments=4, seed=21)
+    ref.run_monte_carlo(0.8, T)
+    s_ref = ref.get_states()
+
+    monkeypatch.delenv("PMC_STEPS_PER_DISPATCH", raising=False)
+    monkeypatch.setattr(ce, "_AUTO_DISPATCH_SECONDS", 1e-9)  # force tiny chunks
+    chk = ClassicIsing(edges, num_experiments=4, seed=21)
+    chk.run_monte_carlo(0.8, T)
+    assert (chk.get_states() == s_ref).all()
+
+
 def test_chunked_dispatch_energies_bit_exact(monkeypatch):
     from pyisingmontecarlo_tpu.lattice import Lattice
     from pyisingmontecarlo_tpu.models.lattices import triangular_edges

@@ -102,10 +102,6 @@ def test_validation_errors():
         q.add_interaction(np.array([0, 0, 0, 1, 0, 0, 1, 0, 0, 1, 0, 0, 1, 0, 0, 0.0]), [0, 1])
     with pytest.raises(ValueError):
         QmcRunner(0, 1)
-    q.add_diagonal_interaction(zz_diag(1.0), [0, 1])
-    q.run_sampling(1.0, 2)
-    with pytest.raises(ValueError):
-        q.add_interaction(x_term(1.0), [2])  # immutable after running
 
 
 def test_free_variables_are_uniform():
@@ -178,6 +174,46 @@ def test_beta_change_preserves_kinked_worldline():
     ex = dense_tfim_energy(edges, 0.0, 1.2, 2.25, 4)
     se = es.std(ddof=1) / np.sqrt(len(es))
     assert abs(es.mean() - ex) < 5 * se + 0.1, (es.mean(), ex, se)
+
+
+def test_add_interaction_after_running():
+    """The reference applies a new interaction to all existing simulators
+    mid-run (qmcrunner.rs:94-101: iterates self.qmc calling make_interaction,
+    no staleness restriction). Build incrementally between runs and check the
+    final ensemble samples the full Hamiltonian."""
+    edges = [((0, 1), -1.0)]
+    beta, gamma = 1.5, 0.8
+    q = QmcRunner(2, 96, seed=11)
+    q.add_diagonal_interaction(zz_diag(-1.0), [0, 1])
+    q.run_sampling(beta, 50)  # materialize + equilibrate the diagonal model
+    # now add the transverse terms to the *running* simulators
+    q.add_interaction(x_term(gamma), [0])
+    q.add_interaction(x_term(gamma), [1])
+    es, ss = q.run_sampling(beta, 400, sampling_wait_buffer=400)
+    ex = dense_tfim_energy(edges, 0.0, gamma, beta, 2)
+    se = es.std(ddof=1) / np.sqrt(len(es))
+    assert abs(es.mean() - ex) < 4 * se + 0.05, (es.mean(), ex, se)
+    assert ss.shape == (96, 400, 2)
+
+
+def test_add_interaction_after_running_repairs_kinks():
+    """Adding a diagonal-only term on a kinked variable pair must leave a
+    positive-weight configuration: kinks survive only where the new
+    compilation allows them (engines/generic.regrid_worldline)."""
+    q = build_tfim_runner([((0, 1), -1.0), ((1, 2), -1.0)], 1.0, 3, 16, seed=12)
+    q.run_sampling(2.0, 200)
+    s_old = np.asarray(q._w.s)
+    assert (s_old != np.roll(s_old, -1, axis=2)).sum() > 0
+    q.add_diagonal_interaction(zz_diag(0.5), [0, 2])  # new ZZ between 0 and 2
+    w = q._w
+    # every kink must sit at a kink-capable transfer of the new compilation
+    s = np.asarray(w.s)
+    kink = s != np.roll(s, -1, axis=2)  # [R, nvars, Lt] kink across transfer l
+    allowed = w.comp.kinkable[:, np.arange(w.Lt) % w.comp.G]
+    assert not (kink & ~allowed[None]).any()
+    # and the ensemble still runs (finite energies)
+    es, _ = q.run_sampling(2.0, 50)
+    assert np.isfinite(es).all()
 
 
 def test_empty_container_runs_are_noops():
