@@ -24,6 +24,13 @@ pure gathers, and updates are conflict-free colored Metropolis flips:
   (sub-slice parity) — delta constraints reject automatically via the weight;
 - full-worldline single-variable flips (delta-free; unfreezes variables whose
   off-diagonal dynamics is weak), always accepted for variables in no term;
+- segment flips of one variable between its kink-capable transfers
+  (1-local off-diagonal kink creation/annihilation);
+- **term-kink flips**: a multi-variable term's full off-diagonal mask pattern
+  flipped over a tau-interval bounded by that term's own transfers — the only
+  move that can populate an XX/XXX-style term's antidiagonal (its paired
+  kinks are unreachable by single-variable moves, whose intermediates carry
+  1-bit mismatches of weight ~ e^-690; see _compile_term_kinks);
 - per-Trotter-slice variable flips when ``do_loop_updates`` is set (the
   reference's loop-update family analogue, qmcrunner.rs:142-150).
 
@@ -65,6 +72,7 @@ _NEG = -1.0e9  # log-weight of a forbidden configuration
 # 0.1 stays well below the statistical tolerances of the workloads.
 DEFAULT_DTAU = 0.1
 N_SEGMENT_PASSES = 6  # segment-flip passes per sweep (kink-number mixing)
+N_TERMKINK_PASSES = 4  # term-kink passes per sweep (multi-var off-diag mixing)
 
 
 def expm(m: np.ndarray) -> np.ndarray:
@@ -160,6 +168,27 @@ class ArityClass(NamedTuple):
     diag_only: bool = False  # every term in the class is diagonal (ZZ-style)
 
 
+class TermKinkColor(NamedTuple):
+    """One conflict-free phase of term-kink proposals (see term_kink_update).
+
+    A proposal is a (multi-variable term, off-diagonal flip mask) pair; two
+    proposals conflict when some term touches variables of both (their
+    acceptance weights would not be separable). All arrays are host numpy
+    compile-time constants."""
+
+    pvars: np.ndarray  # [P, kmax] int32 var ids (inactive slots padded)
+    pact: np.ndarray  # [P, kmax] bool: slot carries a flipped variable
+    pgroup: np.ndarray  # [P] int32 group of the proposing term
+    # per (proposal, slot): that variable's kink-capable sub-slice offsets
+    # modulo G ([P, kmax, maxoff] padded with 0) and counts ([P, kmax]) — the
+    # independent second boundary each flipped variable draws for itself
+    soffs: np.ndarray
+    scnt: np.ndarray
+    # per arity class: (class-local term indices whose weight a proposal of
+    # this color can change, the proposal index each is attributed to)
+    att: Tuple[Tuple[np.ndarray, np.ndarray], ...]
+
+
 class Compiled(NamedTuple):
     classes: Tuple[ArityClass, ...]
     touched: np.ndarray  # [nvars, G] bool
@@ -175,6 +204,8 @@ class Compiled(NamedTuple):
     kink_cnt: Tuple[np.ndarray, ...]
     # [nvars, G] bool: kink of variable v allowed across transfers of group g
     kinkable: np.ndarray
+    # term-kink proposal phases (multi-variable off-diagonal ergodicity)
+    tkink: Tuple[TermKinkColor, ...]
 
 
 def _color_conflicts(nvars: int, terms: List[dict]) -> np.ndarray:
@@ -267,7 +298,11 @@ def compile_terms(nvars: int, terms: List[dict], dtau: float) -> Compiled:
                     )
             tm = np.maximum(tm, 1e-300)
             logT[j] = np.log(tm)
-            esti[j] = (m @ tm) / tm
+            # clip: at forbidden transitions (tm ~ 1e-300) the ratio can
+            # exceed f32 range; those entries are never realized (weight
+            # e^-690) but the one-hot contraction multiplies them by 0.0,
+            # and 0 * inf would poison the sum with NaN
+            esti[j] = np.clip((m @ tm) / tm, -1e30, 1e30)
         cvar = []
         for c in range(ncolors):
             cv = np.full(T, -1, np.int32)
@@ -309,6 +344,7 @@ def compile_terms(nvars: int, terms: List[dict], dtau: float) -> Compiled:
     for v in range(nvars):
         for g in offdiag_groups[v]:
             kinkable[v, g] = True
+    tkink = _compile_term_kinks(nvars, terms, groups, by_k, dtau, offdiag_groups)
     return Compiled(
         classes=tuple(classes),
         touched=touched,
@@ -319,7 +355,118 @@ def compile_terms(nvars: int, terms: List[dict], dtau: float) -> Compiled:
         kink_offs=tuple(kink_offs),
         kink_cnt=tuple(kink_cnt),
         kinkable=kinkable,
+        tkink=tkink,
     )
+
+
+def _compile_term_kinks(
+    nvars, terms, groups, by_k, dtau, offdiag_groups
+) -> Tuple[TermKinkColor, ...]:
+    """Build the term-kink proposal phases.
+
+    A transfer of a multi-variable off-diagonal term (e.g. an XX bond, whose
+    T = cosh I + sinh A only connects a -> a and a -> a^3) can never be
+    crossed by single-variable moves: any 1-bit mismatch across it has weight
+    ~ e^-690, so site/segment/line flips leave the sampler confined to the
+    diagonal sector of every such transfer — the SSE analogue inserts whole
+    term applications and has no such barrier. The fix is a move with one
+    **common boundary** at a transfer of the term's group (where all mask
+    variables toggle jointly, entering the term's antidiagonal) and an
+    **independent second boundary per variable**, drawn from that variable's
+    own kink-capable positions. The independent boundaries are essential:
+    flipping every mask variable over the *same* interval (the obvious move)
+    only reaches parallel pairings — a configuration where one variable
+    rebalances its kink parity at its own X transfer while its partner
+    rebalances elsewhere is separated from parallel pairings by forbidden
+    single-mismatch intermediates, and its weight (~ tanh^3 vs tanh^2) showed
+    up as a reproducible 20-25% kink-density deficit against exact worldline
+    enumeration. Proposals are compiled one per (term, mask); conflict
+    coloring (some term touches variables of both proposals) makes each
+    phase's parallel Glauber acceptances exactly separable."""
+    props: List[Tuple[Tuple[int, ...], int]] = []  # (flipped vars, group)
+    for i, t in enumerate(terms):
+        k = len(t["vars"])
+        if k < 2:
+            continue
+        tm = expm(-dtau * t["mat"])
+        dim = 2**k
+        masks = sorted(
+            {
+                a ^ b
+                for a in range(dim)
+                for b in range(dim)
+                if a != b and abs(tm[a, b]) > 1e-14
+            }
+        )
+        for mvar in masks:
+            vs = tuple(t["vars"][slot] for slot in range(k) if (mvar >> slot) & 1)
+            props.append((vs, int(groups[i])))
+    if not props:
+        return ()
+    var_terms = [set() for _ in range(nvars)]
+    for i, t in enumerate(terms):
+        for v in t["vars"]:
+            var_terms[v].add(i)
+    pterms = []  # terms whose weight proposal p can change
+    for vs, _ in props:
+        ts = set()
+        for v in vs:
+            ts |= var_terms[v]
+        pterms.append(ts)
+    # greedy color: p ~ q iff pterms[p] & pterms[q] (shared affected term)
+    colors = np.full(len(props), -1, np.int32)
+    color_union: List[set] = []
+    for p in range(len(props)):
+        for c, occ in enumerate(color_union):
+            if not (pterms[p] & occ):
+                colors[p] = c
+                occ |= pterms[p]
+                break
+        else:
+            colors[p] = len(color_union)
+            color_union.append(set(pterms[p]))
+    class_ids = {k: ids for k, ids in sorted(by_k.items())}  # class order
+    out = []
+    G = int(groups.max()) + 1
+    for c in range(int(colors.max()) + 1):
+        sel = np.nonzero(colors == c)[0]
+        kmax = max(len(props[p][0]) for p in sel)
+        maxoff = max(
+            [1] + [len(offdiag_groups[v]) for p in sel for v in props[p][0]]
+        )
+        pvars = np.zeros((len(sel), kmax), np.int32)
+        pact = np.zeros((len(sel), kmax), bool)
+        pgroup = np.zeros(len(sel), np.int32)
+        soffs = np.zeros((len(sel), kmax, maxoff), np.int32)
+        scnt = np.ones((len(sel), kmax), np.int32)
+        var_prop = {}  # var id -> proposal index within this color
+        for j, p in enumerate(sel):
+            vs, g = props[p]
+            pgroup[j] = g
+            for slot, v in enumerate(vs):
+                pvars[j, slot] = v
+                pact[j, slot] = True
+                var_prop[v] = j
+                gs = sorted((gg + 1) % G for gg in offdiag_groups[v])
+                scnt[j, slot] = len(gs)
+                soffs[j, slot, : len(gs)] = gs
+        att = []
+        for k, ids in class_ids.items():
+            selc, pidx = [], []
+            for jc, i in enumerate(ids):
+                owners = {var_prop[v] for v in terms[i]["vars"] if v in var_prop}
+                if owners:
+                    assert len(owners) == 1, "conflict coloring violated"
+                    selc.append(jc)
+                    pidx.append(owners.pop())
+            att.append((np.asarray(selc, np.int32), np.asarray(pidx, np.int32)))
+        out.append(
+            TermKinkColor(
+                pvars=pvars, pact=pact, pgroup=pgroup,
+                soffs=soffs, scnt=scnt, att=tuple(att),
+            )
+        )
+    return tuple(out)
 
 
 def regrid_worldline(s_old, comp_new: Compiled, Lt_new: int) -> np.ndarray:
@@ -372,24 +519,31 @@ def _term_logw(cls: ArityClass, s, g_of_l):
             jnp.where(b_in, t11, t00),
             jnp.where(b_in, t10, t01),
         )
-    elif cls.k == 2 and cls.diag_only:
-        # fully diagonal 2-local class (ZZ bonds): the transfer forbids any
-        # change across it, and the diagonal value is one of 4 per-term
-        # coefficients — selects instead of a 3-index gather
-        pw = (2 ** np.arange(2, dtype=np.int32))[None, None, :, None]
+    elif cls.diag_only:
+        # fully diagonal class (ZZ bonds, ZZZ triples, ...): the transfer
+        # forbids any change across it, and the diagonal value is one of 2^k
+        # per-term coefficients — selects instead of a 3-index gather
+        dim = 2**cls.k
+        pw = (2 ** np.arange(cls.k, dtype=np.int32))[None, None, :, None]
         idx = (bits.astype(jnp.int32) * pw).sum(2)
         idx_out = jnp.roll(idx, -1, axis=2)
         d = jnp.broadcast_to(cls.logT[None, :, 0, 0, None], idx.shape)
-        for v in (1, 2, 3):
+        for v in range(1, dim):
             d = jnp.where(idx == v, cls.logT[None, :, v, v, None], d)
         lw = jnp.where(idx == idx_out, d, _NEG)
     else:
+        # off-diagonal k-local (k >= 2, e.g. XX bonds): gather-free one-hot
+        # contraction — lw = oh_in @ logT picked at oh_out. The 3-index
+        # vector gather this replaces serializes on TPU (the round-2 fast
+        # paths' 160x finding); 2^k stays tiny so this is O(4^k) VPU
+        # mul-adds per element, fully vectorized over [R, T, Lt]
+        dim = 2**cls.k
         pw = (2 ** np.arange(cls.k, dtype=np.int32))[None, None, :, None]
         idx = (bits.astype(jnp.int32) * pw).sum(2)  # [R, T, Lt]
-        idx_in = idx
-        idx_out = jnp.roll(idx, -1, axis=2)
-        t_ix = np.arange(cls.vars.shape[0])[None, :, None]
-        lw = cls.logT[t_ix, idx_in, idx_out]  # [R, T, Lt]
+        oh = (idx[..., None] == jnp.arange(dim, dtype=jnp.int32)).astype(_F)
+        oh_out = jnp.roll(oh, -1, axis=2)
+        tmp = jnp.einsum("rtla,tab->rtlb", oh, cls.logT)
+        lw = (tmp * oh_out).sum(-1)
     active = cls.group[None, :, None] == g_of_l[None, None, :]  # np const
     return jnp.where(active, lw, 0.0)
 
@@ -409,19 +563,24 @@ def _term_energy(cls: ArityClass, s, g_of_l):
             jnp.where(b_in, e11, e00),
             jnp.where(b_in, e10, e01),
         )
-    elif cls.k == 2 and cls.diag_only:
-        pw = (2 ** np.arange(2, dtype=np.int32))[None, None, :, None]
+    elif cls.diag_only:
+        dim = 2**cls.k
+        pw = (2 ** np.arange(cls.k, dtype=np.int32))[None, None, :, None]
         idx = (bits.astype(jnp.int32) * pw).sum(2)
         ev = jnp.broadcast_to(cls.esti[None, :, 0, 0, None], idx.shape)
-        for v in (1, 2, 3):
+        for v in range(1, dim):
             ev = jnp.where(idx == v, cls.esti[None, :, v, v, None], ev)
         # mismatched in/out across a diagonal transfer is forbidden (weight
         # e^-690); it never occurs in sampled states, value immaterial
     else:
+        # one-hot contraction (see _term_logw)
+        dim = 2**cls.k
         pw = (2 ** np.arange(cls.k, dtype=np.int32))[None, None, :, None]
         idx = (bits.astype(jnp.int32) * pw).sum(2)
-        t_ix = np.arange(cls.vars.shape[0])[None, :, None]
-        ev = cls.esti[t_ix, idx, jnp.roll(idx, -1, axis=2)]
+        oh = (idx[..., None] == jnp.arange(dim, dtype=jnp.int32)).astype(_F)
+        oh_out = jnp.roll(oh, -1, axis=2)
+        tmp = jnp.einsum("rtla,tab->rtlb", oh, cls.esti)
+        ev = (tmp * oh_out).sum(-1)
     active = cls.group[None, :, None] == g_of_l[None, None, :]
     return jnp.where(active, ev, 0.0)  # [R, T, Lt]
 
@@ -464,6 +623,21 @@ def log_weight(comp: Compiled, s):
 # ------------------------------------------------------------------- updates
 
 
+def _subset_class(cls: ArityClass, sel: np.ndarray) -> ArityClass:
+    """Restrict a class to the listed term indices (static subsetting:
+    evaluating unaffected terms wastes bandwidth — TPU profile, round 2)."""
+    if sel.size == cls.vars.shape[0]:
+        return cls
+    return cls._replace(
+        vars=cls.vars[sel],
+        logT=cls.logT[jnp.asarray(sel)],
+        esti=cls.esti[jnp.asarray(sel)],
+        group=cls.group[sel],
+        cvar=tuple(cc[sel] for cc in cls.cvar),
+        term_ids=cls.term_ids[sel],
+    )
+
+
 def _flip_delta_per_site(comp: Compiled, s, s_new, c: int):
     """Per-(color-c var, transfer) log-weight change [R, Cc, Lt] between s and
     s_new (s_new flips only color-c vars, at most one end per transfer)."""
@@ -484,14 +658,7 @@ def _flip_delta_per_site(comp: Compiled, s, s_new, c: int):
         # contribute zero; evaluating all T terms wasted up to half the
         # segment-pass cost — TPU profile, STATUS.md round-3 notes)
         if sel.size < cv.shape[0]:
-            cls = cls._replace(
-                vars=cls.vars[sel],
-                logT=cls.logT[jnp.asarray(sel)],
-                esti=cls.esti[jnp.asarray(sel)],
-                group=cls.group[sel],
-                cvar=tuple(cc[sel] for cc in cls.cvar),
-                term_ids=cls.term_ids[sel],
-            )
+            cls = _subset_class(cls, sel)
             cv = cv[sel]
         dw = _term_logw(cls, s_new, g_of_l) - _term_logw(cls, s, g_of_l)  # [R,Tc,Lt]
         d = d.at[:, pos_of[cv], :].add(dw)
@@ -588,6 +755,75 @@ def segment_color_update(comp: Compiled, s, subkeys):
     return s, subkeys
 
 
+def term_kink_update(comp: Compiled, s, subkeys, ltau: int):
+    """Flip a multi-variable term's off-diagonal mask pattern through one of
+    its own transfers (see _compile_term_kinks — the only move that can
+    populate an XX/XXX/... term's antidiagonal). Geometry: a transfer at
+    sub-slice l applies group l % G, so the **common boundary** t = g+1+G*a
+    puts the joint toggle of all mask variables at a group-g transfer; each
+    variable's flipped interval [a_v, t) then ends at its own independently
+    drawn capable boundary a_v, so a variable can rebalance its kink parity
+    at its own X transfer while its partner rebalances elsewhere (mixed
+    pairings; flipping one shared interval only reaches parallel pairings —
+    the 20-25%% kink-density bias this move replaced). Interior transfers see
+    both ends of each flip (delta constraints stay satisfied; diagonal
+    weights of straddled terms change and enter the acceptance); a proposal
+    whose a_v lands where a lone toggle of v is forbidden is weight-rejected
+    automatically."""
+    R, nvars, Lt = s.shape
+    G = comp.G
+    g_of_l = np.arange(Lt) % G
+    for tc in comp.tkink:
+        P, kmax = tc.pvars.shape
+        subkeys, k1 = split_keys(subkeys)
+        u = _uniform_per_replica(k1, (P, kmax + 2))
+        slab_t = jnp.minimum((u[..., 0] * ltau).astype(jnp.int32), ltau - 1)
+        t = (jnp.asarray(tc.pgroup)[None] + 1 + G * slab_t) % Lt  # [R, P]
+        pos = jnp.arange(Lt)[None, None, :]
+        s_new = s
+        masks = []
+        for slot in range(kmax):
+            # a_v: this variable's own capable boundary (offsets mod G x slab)
+            cnt = np.maximum(tc.scnt[:, slot], 1)
+            j = jnp.minimum(
+                (u[..., slot + 1] * (cnt * ltau)[None]).astype(jnp.int32),
+                (cnt * ltau)[None] - 1,
+            )  # [R, P]
+            within = j % cnt[None]
+            slab = j // cnt[None]
+            base = jnp.take_along_axis(
+                jnp.asarray(tc.soffs[None, :, slot, :]), within[:, :, None], axis=2
+            )[:, :, 0]
+            a = (base + G * slab) % Lt
+            ln = (t - a) % Lt  # 0 => this variable not flipped
+            mask = ((pos - a[..., None]) % Lt) < ln[..., None]  # [R, P, Lt]
+            masks.append(mask)
+            sel = np.nonzero(tc.pact[:, slot])[0]
+            if sel.size == 0:
+                continue
+            vv = tc.pvars[sel, slot]
+            si = s[:, vv, :]
+            s_new = s_new.at[:, vv, :].set(jnp.where(mask[:, sel, :], -si, si))
+        delta = jnp.zeros((R, P), _F)
+        for ci, cls in enumerate(comp.classes):
+            selc, pidx = tc.att[ci]
+            if selc.size == 0:
+                continue
+            cl = _subset_class(cls, selc)
+            dw = (_term_logw(cl, s_new, g_of_l) - _term_logw(cl, s, g_of_l)).sum(-1)
+            delta = delta.at[:, pidx].add(dw)
+        acc = u[..., kmax + 1] < jax.nn.sigmoid(delta)  # Glauber (see site update)
+        for slot in range(kmax):
+            sel = np.nonzero(tc.pact[:, slot])[0]
+            if sel.size == 0:
+                continue
+            vv = tc.pvars[sel, slot]
+            si = s[:, vv, :]
+            do = acc[:, sel, None] & masks[slot][:, sel, :]
+            s = s.at[:, vv, :].set(jnp.where(do, -si, si))
+    return s, subkeys
+
+
 def free_var_update(comp: Compiled, s, subkeys):
     """Variables in no interaction are free spins: resample their (constant)
     worldlines uniformly."""
@@ -608,6 +844,10 @@ def sweep(comp: Compiled, s, keys, ltau: int, do_loop: bool):
     for _ in range(N_SEGMENT_PASSES):
         keys, sub = split_keys(keys)
         s, _ = segment_color_update(comp, s, sub)
+    if comp.tkink:
+        for _ in range(N_TERMKINK_PASSES):
+            keys, sub = split_keys(keys)
+            s, _ = term_kink_update(comp, s, sub, ltau)
     for c in range(len(comp.color_sites)):
         keys, sub = split_keys(keys)
         s = line_color_update(comp, s, sub, c)

@@ -45,6 +45,32 @@ def dense_tfim_magnetization(edges, h, gamma, beta, nvars):
     return out
 
 
+def dense_terms_energy(nvars, terms, beta):
+    """<E> by dense diagonalization for H = sum_t M_t, with each M_t a
+    (symmetric) 2^k x 2^k matrix over a variable subset. Bit conventions match
+    QmcRunner (tests/test_qmcrunner.py header): local index = sum_m bit_m << m
+    with bit_m = 1 when the m-th listed variable is up; global basis state bit
+    v = 1 when variable v is up."""
+    dim = 2**nvars
+    H = np.zeros((dim, dim))
+    for mat, vs in terms:
+        k = len(vs)
+        mat = np.asarray(mat, np.float64).reshape(2**k, 2**k)
+        for st in range(dim):
+            idx_in = sum(((st >> vs[m]) & 1) << m for m in range(k))
+            for idx_out in range(2**k):
+                if mat[idx_in, idx_out] == 0.0:
+                    continue
+                st_out = st
+                for m in range(k):
+                    bit = (idx_out >> m) & 1
+                    st_out = (st_out & ~(1 << vs[m])) | (bit << vs[m])
+                H[st_out, st] += mat[idx_in, idx_out]
+    w = np.linalg.eigvalsh(H)
+    zw = np.exp(-beta * (w - w.min()))
+    return float((w * zw).sum() / zw.sum())
+
+
 def exact_classical_stats(edges, bias, beta):
     nvars = max(max(a, b) for (a, b), _ in edges) + 1
     h = np.asarray(bias) if np.ndim(bias) else np.full(nvars, float(bias))

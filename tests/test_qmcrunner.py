@@ -230,3 +230,85 @@ def test_empty_container_runs_are_noops():
     assert ac.shape == (0, 16)
     ac = q.run_quantum_monte_carlo_and_measure_bond_autocorrelation(1.0, 16)
     assert ac.shape == (0, 16)
+
+
+def xx_mat(jx):
+    """-jx * X x X as a flattened 4x4 (stoquastic for jx > 0)."""
+    m = np.zeros((4, 4))
+    for a in range(4):
+        m[a, a ^ 3] = -jx
+    return m.reshape(-1)
+
+
+def zzz_diag(k3):
+    out = np.zeros(8)
+    for idx in range(8):
+        z = [1.0 if idx & (1 << b) else -1.0 for b in range(3)]
+        out[idx] = k3 * z[0] * z[1] * z[2]
+    return out
+
+
+def test_offdiag_2local_xx_matches_dense():
+    """Off-diagonal 2-local terms (XX bonds) — the arity class that pays the
+    one-hot transfer contraction (engines/generic._term_logw else branch).
+    H = -J sum ZZ - G sum X - Jx sum XX on a 3-ring vs dense diagonalization."""
+    from helpers import dense_terms_energy
+
+    n, beta, gamma, jx = 3, 1.0, 0.7, 0.5
+    q = QmcRunner(n, 96, seed=6)
+    terms = []
+    for i in range(n):
+        a, b = i, (i + 1) % n
+        q.add_diagonal_interaction(zz_diag(-1.0), [a, b])
+        terms.append((np.diag(zz_diag(-1.0)), (a, b)))
+        q.add_interaction(x_term(gamma), [i])
+        terms.append((x_term(gamma).reshape(2, 2), (i,)))
+        q.add_interaction(xx_mat(jx), [a, b])
+        terms.append((xx_mat(jx).reshape(4, 4), (a, b)))
+    es, _ = q.run_sampling(beta, 400, sampling_wait_buffer=400)
+    ex = dense_terms_energy(n, terms, beta)
+    se = es.std(ddof=1) / np.sqrt(len(es))
+    assert abs(es.mean() - ex) < 4 * se + 0.1, (es.mean(), ex, se)
+
+
+def test_3local_zzz_matches_dense():
+    """Diagonal 3-local terms (ZZZ triples) — the generalized diag-only select
+    path. H = -J sum ZZ - G sum X + K sum ZZZ on a 4-ring vs dense diag."""
+    from helpers import dense_terms_energy
+
+    n, beta, gamma, k3 = 4, 1.0, 0.8, 0.4
+    q = QmcRunner(n, 96, seed=7)
+    terms = []
+    for i in range(n):
+        a, b, c = i, (i + 1) % n, (i + 2) % n
+        q.add_diagonal_interaction(zz_diag(-1.0), [a, b])
+        terms.append((np.diag(zz_diag(-1.0)), (a, b)))
+        q.add_interaction(x_term(gamma), [i])
+        terms.append((x_term(gamma).reshape(2, 2), (i,)))
+        q.add_diagonal_interaction(zzz_diag(k3), [a, b, c])
+        terms.append((np.diag(zzz_diag(k3)), (a, b, c)))
+    es, _ = q.run_sampling(beta, 400, sampling_wait_buffer=400)
+    ex = dense_terms_energy(n, terms, beta)
+    se = es.std(ddof=1) / np.sqrt(len(es))
+    assert abs(es.mean() - ex) < 4 * se + 0.1, (es.mean(), ex, se)
+
+
+def test_offdiag_3local_matches_dense():
+    """Off-diagonal 3-local (XXX triple): exercises the one-hot contraction at
+    arity 3. H = -G sum X - Kx XXX on 3 sites vs dense diagonalization."""
+    from helpers import dense_terms_energy
+
+    n, beta, gamma, kx = 3, 1.2, 0.6, 0.5
+    xxx = np.zeros((8, 8))
+    for a in range(8):
+        xxx[a, a ^ 7] = -kx
+    q = QmcRunner(n, 96, seed=8)
+    terms = [(xxx, (0, 1, 2))]
+    q.add_interaction(xxx.reshape(-1), [0, 1, 2])
+    for i in range(n):
+        q.add_interaction(x_term(gamma), [i])
+        terms.append((x_term(gamma).reshape(2, 2), (i,)))
+    es, _ = q.run_sampling(beta, 400, sampling_wait_buffer=400)
+    ex = dense_terms_energy(n, terms, beta)
+    se = es.std(ddof=1) / np.sqrt(len(es))
+    assert abs(es.mean() - ex) < 4 * se + 0.1, (es.mean(), ex, se)
