@@ -1,0 +1,97 @@
+"""TPU bench: arbitrary-graph classical sweeps (engines/classical.py).
+
+The reference's home turf is frustrated arbitrary graphs driven through
+``GraphState::do_time_step`` (/root/reference/src/classicising.rs:88-110); on
+TPU these run the ELL/gather XLA path, not the fused square-torus kernel.
+Measures each move family separately on a random 4-regular +-J spin glass
+(n=4096, R=64 — the shape VERDICT round-2 recorded at spin 162 us / edge
+682 us / worm 353 us / SW ~40 ms per step).
+
+Prints one JSON line per family.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def _enable_cache():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_pmc")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+def random_regular_pm_j(n: int, half_deg: int, seed: int):
+    """Union of ``half_deg`` random Hamilton cycles -> 2*half_deg-regular
+    multigraph-free edge list with +-J couplings."""
+    rng = np.random.default_rng(seed)
+    seen = set()
+    edges = []
+    for _ in range(half_deg):
+        perm = rng.permutation(n)
+        for i in range(n):
+            a, b = int(perm[i]), int(perm[(i + 1) % n])
+            key = (min(a, b), max(a, b))
+            if a != b and key not in seen:
+                seen.add(key)
+                edges.append(((a, b), 1.0 if rng.random() < 0.5 else -1.0))
+    return edges
+
+
+def main():
+    _enable_cache()
+    import jax.numpy as jnp
+
+    from pyisingmontecarlo_tpu import rng as prng
+    from pyisingmontecarlo_tpu.engines import classical as ce
+    from pyisingmontecarlo_tpu.graph import compile_graph
+
+    n, R, beta = 4096, 64, 1.5
+    cg = compile_graph(random_regular_pm_j(n, 2, seed=7))
+    ga = ce.device_graph_sorted(cg)
+    bias = jnp.zeros((n,), jnp.float32)
+    keys = prng.keys_from_seeds(prng.MasterRng(3).make_seeds(R))
+    s = ce.random_states(keys, n)
+
+    fams = {
+        "spin": dict(nspin_sweeps=1, nedge_sweeps=0, nworms=0, nclusters=0),
+        "edge": dict(nspin_sweeps=0, nedge_sweeps=1, nworms=0, nclusters=0),
+        "worm": dict(nspin_sweeps=0, nedge_sweeps=0, nworms=1, nclusters=0),
+        "sw": dict(nspin_sweeps=0, nedge_sweeps=0, nworms=0, nclusters=1),
+    }
+    steps = {"spin": 512, "edge": 512, "worm": 512, "sw": 64}
+    for name, kw in fams.items():
+        T = steps[name]
+        beta_arr = jnp.full((T,), beta, jnp.float32)
+        args = dict(only_basic=False, heatbath=False, wlen=32, **kw)
+
+        def run():
+            out = ce.run_steps(ga, bias, s, keys, beta_arr, **args)
+            # axon: block_until_ready does not block; force via host transfer
+            return np.asarray(out[0])
+
+        run()  # compile
+        t0 = time.perf_counter()
+        run()
+        dt = time.perf_counter() - t0
+        us = dt / T * 1e6
+        print(
+            json.dumps(
+                {
+                    "metric": f"graph_classical_{name}_step_us",
+                    "value": round(us, 1),
+                    "unit": "us/step",
+                    "nvars": n,
+                    "replicas": R,
+                    "site_updates_per_sec": round(n * R * T / dt, 0),
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -61,8 +61,12 @@ def build(n, replicas, gamma, jx, k3, seed=0):
 
 
 def main():
+    import os
+
     _enable_cache()
-    n, replicas, beta = 32, 64, 1.0
+    n = int(os.environ.get("PMC_BENCH_N", "32"))
+    replicas = int(os.environ.get("PMC_BENCH_R", "64"))
+    beta = 1.0
     q = build(n, replicas, gamma=1.0, jx=0.5, k3=0.25)
 
     sweeps = 200

@@ -115,7 +115,7 @@ class ClassicIsing:
 
     def _graph_arrays(self):
         if self._ga is None:
-            self._ga = ce.device_graph(self.cg)
+            self._ga = ce.device_graph_sorted(self.cg)
         return self._ga
 
     def _fast2d(self, margs) -> bool:

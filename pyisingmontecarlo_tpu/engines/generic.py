@@ -166,6 +166,9 @@ class ArityClass(NamedTuple):
     cvar: Tuple[np.ndarray, ...]  # per color: [T] var of that color in term, or -1
     term_ids: np.ndarray  # [T] original term indices (for bond counts)
     diag_only: bool = False  # every term in the class is diagonal (ZZ-style)
+    # (in, out) index pairs allowed (non-floor log-weight) for ANY term of the
+    # class — the select chain in _term_logw only visits these (host const)
+    pairs: np.ndarray = np.zeros((0, 2), np.int32)
 
 
 class TermKinkColor(NamedTuple):
@@ -315,6 +318,10 @@ def compile_terms(nvars: int, terms: List[dict], dtau: float) -> Compiled:
             np.abs(terms[i]["mat"] - np.diag(np.diag(terms[i]["mat"]))).max() < 1e-12
             for i in ids
         )
+        # allowed (in, out) pairs: above the clamp floor for some term
+        floor = float(np.log(1e-300)) + 1.0
+        allowed = (logT > floor).any(axis=0)  # [2^k, 2^k]
+        pairs = np.argwhere(allowed).astype(np.int32)
         classes.append(
             ArityClass(
                 k=k,
@@ -325,6 +332,7 @@ def compile_terms(nvars: int, terms: List[dict], dtau: float) -> Compiled:
                 cvar=tuple(cvar),
                 term_ids=np.asarray(ids),
                 diag_only=diag_only,
+                pairs=pairs,
             )
         )
     kink_offs, kink_cnt = [], []
@@ -532,18 +540,21 @@ def _term_logw(cls: ArityClass, s, g_of_l):
             d = jnp.where(idx == v, cls.logT[None, :, v, v, None], d)
         lw = jnp.where(idx == idx_out, d, _NEG)
     else:
-        # off-diagonal k-local (k >= 2, e.g. XX bonds): gather-free one-hot
-        # contraction — lw = oh_in @ logT picked at oh_out. The 3-index
-        # vector gather this replaces serializes on TPU (the round-2 fast
-        # paths' 160x finding); 2^k stays tiny so this is O(4^k) VPU
-        # mul-adds per element, fully vectorized over [R, T, Lt]
-        dim = 2**cls.k
+        # off-diagonal k-local (k >= 2, e.g. XX bonds): fused select chain
+        # over only the ALLOWED (in, out) pairs of the class, against
+        # per-term coefficient rows. Replaces both the serializing 3-index
+        # vector gather (the round-2 fast paths' 160x finding) and a one-hot
+        # contraction whose [R, T, Lt, 2^k] materialization was
+        # bandwidth-bound; the chain is one pass over [R, T, Lt] with the
+        # pair tests in registers. Disallowed pairs share the exact clamp
+        # floor value, which seeds the accumulator.
         pw = (2 ** np.arange(cls.k, dtype=np.int32))[None, None, :, None]
         idx = (bits.astype(jnp.int32) * pw).sum(2)  # [R, T, Lt]
-        oh = (idx[..., None] == jnp.arange(dim, dtype=jnp.int32)).astype(_F)
-        oh_out = jnp.roll(oh, -1, axis=2)
-        tmp = jnp.einsum("rtla,tab->rtlb", oh, cls.logT)
-        lw = (tmp * oh_out).sum(-1)
+        idx_out = jnp.roll(idx, -1, axis=2)
+        lw = jnp.full_like(idx, np.float32(np.log(1e-300)), dtype=_F)
+        for a, b in cls.pairs:
+            hit = (idx == int(a)) & (idx_out == int(b))
+            lw = jnp.where(hit, cls.logT[None, :, int(a), int(b), None], lw)
     active = cls.group[None, :, None] == g_of_l[None, None, :]  # np const
     return jnp.where(active, lw, 0.0)
 
@@ -573,14 +584,16 @@ def _term_energy(cls: ArityClass, s, g_of_l):
         # mismatched in/out across a diagonal transfer is forbidden (weight
         # e^-690); it never occurs in sampled states, value immaterial
     else:
-        # one-hot contraction (see _term_logw)
-        dim = 2**cls.k
+        # allowed-pair select chain (see _term_logw); disallowed transfers
+        # are never realized in sampled states, so their 0.0 default is
+        # immaterial (and finite — no 0 * inf NaN hazard)
         pw = (2 ** np.arange(cls.k, dtype=np.int32))[None, None, :, None]
         idx = (bits.astype(jnp.int32) * pw).sum(2)
-        oh = (idx[..., None] == jnp.arange(dim, dtype=jnp.int32)).astype(_F)
-        oh_out = jnp.roll(oh, -1, axis=2)
-        tmp = jnp.einsum("rtla,tab->rtlb", oh, cls.esti)
-        ev = (tmp * oh_out).sum(-1)
+        idx_out = jnp.roll(idx, -1, axis=2)
+        ev = jnp.zeros_like(idx, dtype=_F)
+        for a, b in cls.pairs:
+            hit = (idx == int(a)) & (idx_out == int(b))
+            ev = jnp.where(hit, cls.esti[None, :, int(a), int(b), None], ev)
     active = cls.group[None, :, None] == g_of_l[None, None, :]
     return jnp.where(active, ev, 0.0)  # [R, T, Lt]
 

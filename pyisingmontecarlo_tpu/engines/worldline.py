@@ -755,7 +755,7 @@ class WorldlineEnsemble:
             from ..ops import wl_pallas as wp
 
             if wp.supported_sample(
-                self._pallas_dense, self.cg.nvars, self.L, self.R, nsamples
+                self._pallas_dense, self.cg.nvars, self.L, self.R, nsamples, total=t
             ):
                 from ..ops.lattice2d import _pallas_seeds
                 from ..rng import fold_all
@@ -789,7 +789,7 @@ class WorldlineEnsemble:
             from ..ops import wl_pallas as wp
 
             if wp.supported_sample(
-                self._pallas_dense, self.cg.nvars, self.L, self.R, nsamples
+                self._pallas_dense, self.cg.nvars, self.L, self.R, nsamples, total=t
             ):
                 from ..ops.lattice2d import _pallas_seeds
                 from ..rng import fold_all

@@ -147,7 +147,7 @@ class Lattice:
 
     def _graph_arrays(self):
         if self._ga is None:
-            self._ga = ce.device_graph(self.cg)
+            self._ga = ce.device_graph_sorted(self.cg)
         return self._ga
 
     def _bias_vector(self) -> np.ndarray:

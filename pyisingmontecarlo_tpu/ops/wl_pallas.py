@@ -63,6 +63,23 @@ _LANE_TARGET = 8192  # lanes per program (64 lane-tiles)
 _EXP_ACCEPT = False
 _MAX_PLANE_BYTES = 2 * 1024 * 1024  # int32 worldline plane per program
 _VMEM_LIMIT = 40 * 1024 * 1024  # scoped-vmem cap (phases hold ~8 live planes)
+# LARGE-SPATIAL mode (VERDICT round-2 item 6: 256^2+ TFIM tori): one replica's
+# plane up to 16 MB, rc = 1, and the estimator accumulators collapse from
+# [3, L, RN] planes to [3, 8, RN] sublane-reduced rows so the VMEM budget is
+# ~6 live planes instead of ~9 (the full-plane accumulators alone would be
+# 3x the worldline). Per-row exactness bound: elements stay exact integers
+# while 2*L*t <= 2^24, enforced by host-side dispatch chunking.
+_MAX_PLANE_BYTES_LARGE = 16 * 1024 * 1024
+_VMEM_LIMIT_LARGE = 100 * 1024 * 1024
+
+
+def _plane_bytes(nvars: int, ltau: int) -> int:
+    return nvars * ltau * 4
+
+
+def _acc_rows(nvars: int, ltau: int) -> bool:
+    """Row-accumulator (large-spatial) mode for planes past the packed gate."""
+    return _plane_bytes(nvars, ltau) > _MAX_PLANE_BYTES
 
 
 def supported(dense, nvars: int, ltau: int) -> bool:
@@ -78,15 +95,20 @@ def supported(dense, nvars: int, ltau: int) -> bool:
     kind, size, _ = dense
     if kind == "torus" and size % 2:
         return False
-    return nvars * ltau * 4 <= _MAX_PLANE_BYTES * 8  # single replica must fit
+    return _plane_bytes(nvars, ltau) <= _MAX_PLANE_BYTES_LARGE  # one replica/program
 
 
 _MAX_SAMPLE_BYTES = 4 * 1024 * 1024  # VMEM slice-0 sample buffer per program
 
 
-def supported_sample(dense, nvars: int, ltau: int, R: int, nsamples: int) -> bool:
-    """Sampling variant: the per-program slice-0 sample buffer must also fit."""
+def supported_sample(dense, nvars: int, ltau: int, R: int, nsamples: int,
+                     total: int = 0) -> bool:
+    """Sampling variant: the per-program slice-0 sample buffer must also fit;
+    in large-spatial (row-accumulator) mode the whole run must fit one
+    dispatch's exact-integer budget (``total`` sweeps; 0 = unknown/small)."""
     if not supported(dense, nvars, ltau):
+        return False
+    if _acc_rows(nvars, ltau) and total > max(1, (1 << 23) // max(2 * ltau, 1)):
         return False
     rc = _chunk_replicas(R, nvars, ltau)
     return nsamples * rc * nvars <= _MAX_SAMPLE_BYTES
@@ -154,10 +176,13 @@ def _select_cde(cde_ref, s, bsum):
 _DRAWS_PER_SWEEP = 8  # 4 site phases + 2 cluster phases x (bond, uniform)
 
 
-def _build_ops(seed_ref, thr_ref, cde_ref, pb_ref, accs_out, sS, kind: str, size: int, nvars: int):
+def _build_ops(seed_ref, thr_ref, cde_ref, pb_ref, accs_out, sS, kind: str, size: int,
+               nvars: int, acc_rows: bool = False):
     """Shared sweep machinery over the VMEM plane sS [L, RN]: returns
     full_sweep(t) which runs the 4 site phases + 2 FK cluster phases +
-    per-sweep estimator accumulation for global sweep index ``t``."""
+    per-sweep estimator accumulation for global sweep index ``t``.
+    ``acc_rows``: accumulate sublane-reduced [8, RN] rows (all 8 rows carry
+    the same sum) instead of full [L, RN] planes (large-spatial mode)."""
     L, RN = sS.shape
     lane = jax.lax.broadcasted_iota(jnp.int32, (L, RN), 1)
     i = lane % nvars  # site index within its replica
@@ -271,9 +296,14 @@ def _build_ops(seed_ref, thr_ref, cde_ref, pb_ref, accs_out, sS, kind: str, size
         for nb in bond_partners(s):
             sb = sb + s * nb
         al = (s == roll_up(s, 1)).astype(jnp.int32)
-        accs_out[0, 0] += sb.astype(jnp.float32)
-        accs_out[0, 1] += s.astype(jnp.float32)
-        accs_out[0, 2] += al.astype(jnp.float32)
+        if acc_rows:
+            for k, x in enumerate((sb, s, al)):
+                row = jnp.sum(x.astype(jnp.float32), axis=0, keepdims=True)
+                accs_out[0, k] += jnp.broadcast_to(row, (8, RN))
+        else:
+            accs_out[0, 0] += sb.astype(jnp.float32)
+            accs_out[0, 1] += s.astype(jnp.float32)
+            accs_out[0, 2] += al.astype(jnp.float32)
 
     def full_sweep(t):
         base = t * _DRAWS_PER_SWEEP
@@ -293,13 +323,14 @@ def _build_ops(seed_ref, thr_ref, cde_ref, pb_ref, accs_out, sS, kind: str, size
 def _kernel(
     nsweeps_ref, thr_ref, cde_ref, pb_ref,
     s_in, seed_in, s_out, accs_out, sS,
-    *, kind: str, size: int, nvars: int,
+    *, kind: str, size: int, nvars: int, acc_rows: bool = False,
 ):
     L, RN = sS.shape
     sS[:] = s_in[0].astype(jnp.int32)
-    accs_out[0] = jnp.zeros((3, L, RN), jnp.float32)
+    accs_out[0] = jnp.zeros(accs_out.shape[1:], jnp.float32)
     full_sweep = _build_ops(
-        seed_in[0], thr_ref, cde_ref, pb_ref, accs_out, sS, kind, size, nvars
+        seed_in[0], thr_ref, cde_ref, pb_ref, accs_out, sS, kind, size, nvars,
+        acc_rows=acc_rows,
     )
     jax.lax.fori_loop(0, nsweeps_ref[0], lambda t, carry: (full_sweep(t), carry)[1], 0)
     s_out[0] = sS[:].astype(jnp.int8)
@@ -309,6 +340,7 @@ def _kernel_sample(
     thr_ref, cde_ref, pb_ref,
     s_in, seed_in, s_out, accs_out, samples_out, sS, stage, sem,
     *, kind: str, size: int, nvars: int, freq: int, nsamples: int, rem: int,
+    acc_rows: bool = False,
 ):
     """Sampling variant: ``nsamples`` blocks of ``freq`` sweeps; after each
     block the slice-0 spin row is staged into the VMEM sample buffer
@@ -318,9 +350,10 @@ def _kernel_sample(
     c = pl.program_id(0)
     L, RN = sS.shape
     sS[:] = s_in[0].astype(jnp.int32)
-    accs_out[0] = jnp.zeros((3, L, RN), jnp.float32)
+    accs_out[0] = jnp.zeros(accs_out.shape[1:], jnp.float32)
     full_sweep = _build_ops(
-        seed_in[0], thr_ref, cde_ref, pb_ref, accs_out, sS, kind, size, nvars
+        seed_in[0], thr_ref, cde_ref, pb_ref, accs_out, sS, kind, size, nvars,
+        acc_rows=acc_rows,
     )
 
     def block(t, carry):
@@ -346,13 +379,15 @@ def _kernel_sample(
     s_out[0] = sS[:].astype(jnp.int8)
 
 
-@functools.partial(jax.jit, static_argnames=("kind", "size", "nvars"))
-def _call(s, seedp, nsweeps, thr, cde, pb, kind: str, size: int, nvars: int):
+@functools.partial(jax.jit, static_argnames=("kind", "size", "nvars", "acc_rows"))
+def _call(s, seedp, nsweeps, thr, cde, pb, kind: str, size: int, nvars: int,
+          acc_rows: bool = False):
     C, L, RN = s.shape
+    AL = 8 if acc_rows else L
     spec = pl.BlockSpec((1, L, RN), lambda c, *_: (c, 0, 0), memory_space=pltpu.VMEM)
     seed_spec = pl.BlockSpec((1, 8, RN), lambda c, *_: (c, 0, 0), memory_space=pltpu.VMEM)
     acc_spec = pl.BlockSpec(
-        (1, 3, L, RN), lambda c, *_: (c, 0, 0, 0), memory_space=pltpu.VMEM
+        (1, 3, AL, RN), lambda c, *_: (c, 0, 0, 0), memory_space=pltpu.VMEM
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,  # nsweeps, thresholds, cluster dE, pbond
@@ -362,13 +397,15 @@ def _call(s, seedp, nsweeps, thr, cde, pb, kind: str, size: int, nvars: int):
         scratch_shapes=[pltpu.VMEM((L, RN), jnp.int32)],
     )
     return pl.pallas_call(
-        functools.partial(_kernel, kind=kind, size=size, nvars=nvars),
+        functools.partial(_kernel, kind=kind, size=size, nvars=nvars, acc_rows=acc_rows),
         out_shape=(
             jax.ShapeDtypeStruct((C, L, RN), jnp.int8),
-            jax.ShapeDtypeStruct((C, 3, L, RN), jnp.float32),
+            jax.ShapeDtypeStruct((C, 3, AL, RN), jnp.float32),
         ),
         grid_spec=grid_spec,
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_LARGE if acc_rows else _VMEM_LIMIT
+        ),
         cost_estimate=pl.CostEstimate(
             flops=500 * C * L * RN,  # per-sweep estimate; nsweeps is dynamic
             bytes_accessed=17 * C * L * RN,
@@ -378,15 +415,16 @@ def _call(s, seedp, nsweeps, thr, cde, pb, kind: str, size: int, nvars: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("kind", "size", "nvars", "freq", "nsamples", "rem")
+    jax.jit, static_argnames=("kind", "size", "nvars", "freq", "nsamples", "rem", "acc_rows")
 )
 def _call_sample(s, seedp, thr, cde, pb, kind: str, size: int, nvars: int,
-                 freq: int, nsamples: int, rem: int):
+                 freq: int, nsamples: int, rem: int, acc_rows: bool = False):
     C, L, RN = s.shape
+    AL = 8 if acc_rows else L
     spec = pl.BlockSpec((1, L, RN), lambda c, *_: (c, 0, 0), memory_space=pltpu.VMEM)
     seed_spec = pl.BlockSpec((1, 8, RN), lambda c, *_: (c, 0, 0), memory_space=pltpu.VMEM)
     acc_spec = pl.BlockSpec(
-        (1, 3, L, RN), lambda c, *_: (c, 0, 0, 0), memory_space=pltpu.VMEM
+        (1, 3, AL, RN), lambda c, *_: (c, 0, 0, 0), memory_space=pltpu.VMEM
     )
     samp_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -404,15 +442,17 @@ def _call_sample(s, seedp, thr, cde, pb, kind: str, size: int, nvars: int,
     return pl.pallas_call(
         functools.partial(
             _kernel_sample, kind=kind, size=size, nvars=nvars,
-            freq=freq, nsamples=nsamples, rem=rem,
+            freq=freq, nsamples=nsamples, rem=rem, acc_rows=acc_rows,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((C, L, RN), jnp.int8),
-            jax.ShapeDtypeStruct((C, 3, L, RN), jnp.float32),
+            jax.ShapeDtypeStruct((C, 3, AL, RN), jnp.float32),
             jax.ShapeDtypeStruct((C, nsamples, 8, RN), jnp.int8),
         ),
         grid_spec=grid_spec,
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_LARGE if acc_rows else _VMEM_LIMIT
+        ),
         cost_estimate=pl.CostEstimate(
             flops=500 * C * L * RN * nsweeps,
             bytes_accessed=17 * C * L * RN,
@@ -439,17 +479,23 @@ def run_wl_sample_pallas(s_tau_last, seeds_u32, freq: int, nsamples: int, rem: i
     s = jnp.transpose(s_tau_last.reshape(C, rc, nvars, L), (0, 3, 1, 2)).reshape(
         C, L, rc * nvars
     )
+    rows = _acc_rows(nvars, ltau)
     s, accs, samples = _call_sample(
         s, lanerng.seed_plane(seeds_u32, rc, nvars), jnp.asarray(thr), jnp.asarray(cde),
         jnp.asarray(pb), kind, int(size), int(nvars), int(freq), int(nsamples), int(rem),
+        acc_rows=rows,
     )
     s_back = jnp.transpose(
         s.reshape(C, L, rc, nvars), (0, 2, 3, 1)
     ).reshape(R, nvars, L)
     samples = samples[:, :, 0, :].reshape(C, nsamples, rc, nvars)
     samples = samples.transpose(0, 2, 1, 3).reshape(R, nsamples, nvars)
-    st = np.asarray(accs, np.float64).reshape(C, 3, L, rc, nvars)
-    sums = st.sum(axis=(2, 4)).transpose(0, 2, 1).reshape(R, 3)
+    if rows:
+        st = np.asarray(accs, np.float64)[:, :, 0, :].reshape(C, 3, rc, nvars)
+        sums = st.sum(axis=3).transpose(0, 2, 1).reshape(R, 3)
+    else:
+        st = np.asarray(accs, np.float64).reshape(C, 3, L, rc, nvars)
+        sums = st.sum(axis=(2, 4)).transpose(0, 2, 1).reshape(R, 3)
     sb, sh, al = sums[:, 0], sums[:, 1], sums[:, 2]
     t = float(freq * nsamples + rem)
     ntb = nvars * L * t
@@ -478,19 +524,43 @@ def run_wl_sweeps_pallas(s_tau_last, seeds_u32, nsweeps, dense,
     s = jnp.transpose(s_tau_last.reshape(C, rc, nvars, L), (0, 3, 1, 2)).reshape(
         C, L, rc * nvars
     )
-    nsweeps_arr = jnp.asarray(nsweeps, jnp.int32).reshape(1)
-    s, accs = _call(
-        s, lanerng.seed_plane(seeds_u32, rc, nvars), nsweeps_arr, jnp.asarray(thr),
-        jnp.asarray(cde), jnp.asarray(pb), kind, int(size), int(nvars),
-    )
+    rows = _acc_rows(nvars, ltau)
+    seed_arr = np.asarray(seeds_u32, np.uint32)
+    thr_j, cde_j, pb_j = jnp.asarray(thr), jnp.asarray(cde), jnp.asarray(pb)
+    total = int(nsweeps)
+    # exactness bound per dispatch: row accumulators advance by <= 2L per
+    # sweep (plane accumulators by <= 2); chunk so sums stay exact integers
+    # below 2^24. Chunk boundaries depend only on (t, L), and each chunk
+    # folds its index into the lane-RNG seeds (the in-kernel draw counter
+    # restarts per call), so trajectories remain a pure function of the
+    # per-replica seed.
+    bound = max(1, (1 << 23) // max(2 * L, 1)) if rows else (1 << 23)
+    sums = np.zeros((R, 3), np.float64)
+    done = 0
+    while done < total:
+        step = min(total - done, bound)
+        chunk_seeds = (
+            seed_arr
+            if done == 0
+            else seed_arr ^ np.uint32((0x9E3779B9 * (done // bound)) & 0xFFFFFFFF)
+        )
+        s, accs = _call(
+            s, lanerng.seed_plane(chunk_seeds, rc, nvars),
+            jnp.asarray(step, jnp.int32).reshape(1),
+            thr_j, cde_j, pb_j, kind, int(size), int(nvars), acc_rows=rows,
+        )
+        if rows:
+            st = np.asarray(accs, np.float64)[:, :, 0, :].reshape(C, 3, rc, nvars)
+            sums += st.sum(axis=3).transpose(0, 2, 1).reshape(R, 3)
+        else:
+            st = np.asarray(accs, np.float64).reshape(C, 3, L, rc, nvars)
+            sums += st.sum(axis=(2, 4)).transpose(0, 2, 1).reshape(R, 3)
+        done += step
     s_back = jnp.transpose(
         s.reshape(C, L, rc, nvars), (0, 2, 3, 1)
     ).reshape(R, nvars, L)
-    # per-replica reductions of the exact-integer f32 accumulation planes
-    st = np.asarray(accs, np.float64).reshape(C, 3, L, rc, nvars)
-    sums = st.sum(axis=(2, 4)).transpose(0, 2, 1).reshape(R, 3)
     sb, sh, al = sums[:, 0], sums[:, 1], sums[:, 2]
-    t = float(np.asarray(nsweeps))
+    t = float(total)
     ntb = nvars * L * t  # time bonds summed over all sweeps
     tanh_a, coth_a = math.tanh(a), 1.0 / math.tanh(a)
     ediag = (float(j) * sb + float(h) * sh) / ltau

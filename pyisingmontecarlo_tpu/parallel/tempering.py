@@ -44,10 +44,17 @@ def shard_ladder(lt: "tp.LatticeTempering", mesh: Mesh, axis: str = "replica") -
     m["p"] = type(m["p"])(*[put(x, P(axis)) for x in m["p"]])
     m["hb_mask"] = put(m["hb_mask"], P(axis))
     m["rvb_mask"] = put(m["rvb_mask"], P(axis))
-    # the fused ladder-sweep kernel (single-chip) is a pallas_call GSPMD
-    # cannot partition; sharded ladders run the XLA sweep (replicas are
-    # device-local either way, swaps ride the collective permute)
-    m["ladder"] = None
+    if m["ladder"] is not None:
+        # GSPMD cannot partition a pallas_call; record the mesh so the sweep
+        # is issued inside shard_map — each device runs its own kernel on its
+        # replica shard (tempering._mixed_sweep; VERDICT round-2 item 7). The
+        # parameter planes are replica-major along the flattened lane axis,
+        # sharded to match the state's replica shards.
+        m["ladder"]["mesh"] = mesh
+        m["ladder"]["axis"] = axis
+        m["ladder"]["planes"] = jax.tree.map(
+            lambda x: put(x, P(None, axis)), m["ladder"]["planes"]
+        )
 
 
 def dryrun_ladder(

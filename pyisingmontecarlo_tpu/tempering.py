@@ -80,13 +80,21 @@ def batched_graph_arrays(cg: CompiledGraph, jvals: np.ndarray) -> ce.GraphArrays
 
 
 def _mixed_sweep(ga, p, s, keys, hb_mask, rvb_mask, any_rvb: bool,
-                 ladder_planes=None, ladder_kind=None, ladder_size=0):
+                 ladder_planes=None, ladder_kind=None, ladder_size=0,
+                 ladder_mesh=None, ladder_axis=None):
     """One full sweep with per-replica heatbath/rvb flags (traced masks).
 
     ``ladder_kind`` (static, None/'ring'/'torus') switches the sweep to the
     fused Pallas ladder kernel (ops/wl_ladder_pallas.py): quenched per-lane
     couplings + per-replica (beta, Gamma, h), one kernel call per sweep
-    inside this jitted loop — swaps/energies stay in XLA around it."""
+    inside this jitted loop — swaps/energies stay in XLA around it.
+
+    ``ladder_mesh``/``ladder_axis`` (static): when the replica axis is sharded
+    over a device mesh, GSPMD cannot partition a ``pallas_call``; the sweep is
+    instead issued inside ``shard_map`` so every device runs its own kernel on
+    its replica shard (the sweep is embarrassingly parallel over replicas —
+    only the swap/energy XLA code around it communicates). VERDICT round-2
+    item 7."""
     if ladder_kind is not None:
         from .ops import lanerng
         from .ops import wl_ladder_pallas as wlp
@@ -96,7 +104,35 @@ def _mixed_sweep(ga, p, s, keys, hb_mask, rvb_mask, any_rvb: bool,
         # depend on its key only (reference seed contract, lattice.rs:83-91),
         # and each shard_map shard derives exactly its replicas' seeds
         seeds = lanerng.replica_seeds_from_keys(sub)
-        s = wlp.ladder_sweep(s, seeds, ladder_planes, ladder_kind, ladder_size, s.shape[1])
+        nvars = s.shape[1]
+        if ladder_mesh is None:
+            s = wlp.ladder_sweep(s, seeds, ladder_planes, ladder_kind, ladder_size, nvars)
+        else:
+            from jax.sharding import PartitionSpec as _P
+
+            jplanes = ladder_planes[0]
+            nj = len(jplanes)
+            rest = ladder_planes[1:]  # dt, kt, h, pb — each [1, R*nvars]
+
+            def _sweep(s_blk, seeds_blk, *plane_blks):
+                planes_blk = (tuple(plane_blks[:nj]),) + tuple(plane_blks[nj:])
+                return wlp.ladder_sweep(
+                    s_blk, seeds_blk, planes_blk, ladder_kind, ladder_size, nvars
+                )
+
+            # parameter planes are replica-major along the flattened lane
+            # axis, so P(None, axis) hands each shard exactly its replicas'
+            # lanes; the in-kernel chunking then sees the shard-local R
+            s = jax.shard_map(
+                _sweep,
+                mesh=ladder_mesh,
+                in_specs=(
+                    (_P(ladder_axis, None, None), _P(ladder_axis))
+                    + (_P(None, ladder_axis),) * (nj + len(rest))
+                ),
+                out_specs=_P(ladder_axis, None, None),
+                check_vma=False,  # pallas_call carries no vma info
+            )(s, seeds, *jplanes, *rest)
         return s, keys
     for c in range(len(ga.c_sites)):
         for parity in (0, 1):
@@ -163,10 +199,14 @@ def tempering_swap(ga, p, s, swapkey, phase):
     return jnp.take(s, perm, axis=0), swapkey, acc_leader.sum()
 
 
-@partial(jax.jit, static_argnames=("swap_freq", "any_rvb", "with_energy", "ladder_kind", "ladder_size"))
+@partial(jax.jit, static_argnames=(
+    "swap_freq", "any_rvb", "with_energy", "ladder_kind", "ladder_size",
+    "ladder_mesh", "ladder_axis",
+))
 def run_tempering_nostates(
     ga, p, s, keys, swapkey, hb_mask, rvb_mask, timesteps, swap_freq, any_rvb, phase0, nswaps0,
     with_energy=True, ladder_planes=None, ladder_kind=None, ladder_size=0,
+    ladder_mesh=None, ladder_axis=None,
 ):
     """Like run_tempering_sampled but collects no states; ``timesteps`` is a
     traced operand (one compilation serves every sweep count — plain stepping
@@ -179,7 +219,7 @@ def run_tempering_nostates(
         s, keys, swapkey, esum, phase, nswaps = carry
         s, keys = _mixed_sweep(
             ga, p, s, keys, hb_mask, rvb_mask, any_rvb,
-            ladder_planes, ladder_kind, ladder_size,
+            ladder_planes, ladder_kind, ladder_size, ladder_mesh, ladder_axis,
         )
         if with_energy:
             esum = kadd(esum, wl.total_energy(ga, p, s))
@@ -207,10 +247,14 @@ def run_tempering_nostates(
     return s, keys, swapkey, esum, phase, nswaps
 
 
-@partial(jax.jit, static_argnames=("timesteps", "swap_freq", "sampling_freq", "any_rvb", "ladder_kind", "ladder_size"))
+@partial(jax.jit, static_argnames=(
+    "timesteps", "swap_freq", "sampling_freq", "any_rvb", "ladder_kind", "ladder_size",
+    "ladder_mesh", "ladder_axis",
+))
 def run_tempering_sampled(
     ga, p, s, keys, swapkey, hb_mask, rvb_mask, timesteps, swap_freq, sampling_freq,
     any_rvb, phase0, nswaps0, ladder_planes=None, ladder_kind=None, ladder_size=0,
+    ladder_mesh=None, ladder_axis=None,
 ):
     """timesteps sweeps with a swap phase every swap_freq sweeps, sampling the
     slice-0 state every ``sampling_freq`` sweeps ON DEVICE — the sample buffer
@@ -225,7 +269,7 @@ def run_tempering_sampled(
         s, keys, swapkey, esum, phase, nswaps = carry
         s, keys = _mixed_sweep(
             ga, p, s, keys, hb_mask, rvb_mask, any_rvb,
-            ladder_planes, ladder_kind, ladder_size,
+            ladder_planes, ladder_kind, ladder_size, ladder_mesh, ladder_axis,
         )
         esum = kadd(esum, wl.total_energy(ga, p, s))
 
@@ -377,7 +421,10 @@ class LatticeTempering:
             from .ops import wl_ladder_pallas as wlp
 
             topo = wlp.detect_topology(self.nvars, ea, eb)
-            if topo is not None and wlp.supported_ladder(topo, self.nvars, L, R):
+            forced = bool(os.environ.get("PMC_FORCE_LADDER"))  # interpret-mode tests
+            if topo is not None and (
+                forced or wlp.supported_ladder(topo, self.nvars, L, R)
+            ):
                 planes = wlp.build_planes(
                     topo[0], topo[1], self.nvars, ea, eb, jv, betas, gammas, hs, L
                 )
@@ -421,6 +468,8 @@ class LatticeTempering:
             ladder_planes=None if m["ladder"] is None else m["ladder"]["planes"],
             ladder_kind=None if m["ladder"] is None else m["ladder"]["kind"],
             ladder_size=0 if m["ladder"] is None else m["ladder"]["size"],
+            ladder_mesh=None if m["ladder"] is None else m["ladder"].get("mesh"),
+            ladder_axis=None if m["ladder"] is None else m["ladder"].get("axis"),
         )
         m["s"], m["keys"], m["phase"] = s, keys, phase
         self._swapkey = swapkey
@@ -449,6 +498,8 @@ class LatticeTempering:
             ladder_planes=None if m["ladder"] is None else m["ladder"]["planes"],
             ladder_kind=None if m["ladder"] is None else m["ladder"]["kind"],
             ladder_size=0 if m["ladder"] is None else m["ladder"]["size"],
+            ladder_mesh=None if m["ladder"] is None else m["ladder"].get("mesh"),
+            ladder_axis=None if m["ladder"] is None else m["ladder"].get("axis"),
         )
         m["s"], m["keys"], m["phase"] = s, keys, phase
         self._swapkey = swapkey

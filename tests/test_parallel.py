@@ -61,6 +61,47 @@ def test_shard_ladder_divisibility():
         shard_ladder(lt, m)  # 3 replicas not divisible by 4
 
 
+def test_sharded_ladder_kernel_matches_single_shard(monkeypatch):
+    """The fused Pallas ladder sweep stays active under sharding by running
+    inside shard_map (one pallas_call per device on its replica shard;
+    VERDICT round-2 item 7). Interpret mode emulates the kernel on CPU (the
+    hardware PRNG reads as zeros — identically in both runs), so the sharded
+    trajectory must match the single-shard one bit-exactly: any error in the
+    per-shard plane slicing, seed routing, or in-kernel chunking would
+    diverge."""
+    need_devices(4)
+    from jax.experimental.pallas import tpu as pltpu
+
+    from pyisingmontecarlo_tpu import LatticeTempering
+    from pyisingmontecarlo_tpu.parallel.tempering import shard_ladder
+
+    monkeypatch.setenv("PMC_FORCE_LADDER", "1")
+
+    def build():
+        edges = [((i, (i + 1) % 8), -1.0) for i in range(8)]
+        lt = LatticeTempering(edges, seed=3)
+        for b in np.linspace(0.8, 1.2, 8):
+            lt.add_graph(1.0, 0.0, float(b))
+        return lt
+
+    with pltpu.force_tpu_interpret_mode():
+        lt1 = build()
+        m1 = lt1._materialize()
+        assert m1["ladder"] is not None and m1["ladder"].get("mesh") is None
+        lt1.qmc_timesteps(2)
+        s1 = np.asarray(lt1._materialize()["s"])
+
+        lt2 = build()
+        mesh = pmesh.make_mesh((4,), ("replica",))
+        shard_ladder(lt2, mesh)
+        m2 = lt2._materialize()
+        assert m2["ladder"] is not None and m2["ladder"]["mesh"] is mesh
+        lt2.qmc_timesteps(2)
+        s2 = np.asarray(lt2._materialize()["s"])
+
+    np.testing.assert_array_equal(s1, s2)
+
+
 def test_spatial_halo_sweep_matches_physics():
     need_devices(4)
     from pyisingmontecarlo_tpu.parallel import spatial as psp
