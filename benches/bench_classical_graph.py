@@ -64,20 +64,27 @@ def main():
     }
     steps = {"spin": 512, "edge": 512, "worm": 512, "sw": 64}
     for name, kw in fams.items():
-        T = steps[name]
-        beta_arr = jnp.full((T,), beta, jnp.float32)
+        # axon: every dispatch carries a ~30-90 ms tunnel floor and
+        # block_until_ready does not block. Measure the SLOPE between two
+        # dispatch lengths (each forced by a host transfer), best-of-2 per
+        # length — floor-immune per-step cost.
+        T1 = steps[name]
+        T2 = 4 * T1
         args = dict(only_basic=False, heatbath=False, wlen=32, **kw)
 
-        def run():
+        def run(T):
+            beta_arr = jnp.full((T,), beta, jnp.float32)
             out = ce.run_steps(ga, bias, s, keys, beta_arr, **args)
-            # axon: block_until_ready does not block; force via host transfer
             return np.asarray(out[0])
 
-        run()  # compile
-        t0 = time.perf_counter()
-        run()
-        dt = time.perf_counter() - t0
-        us = dt / T * 1e6
+        run(T1), run(T2)  # compile both lengths
+        ts = []
+        for T in (T1, T2, T1, T2):
+            t0 = time.perf_counter()
+            run(T)
+            ts.append(time.perf_counter() - t0)
+        dt = min(ts[1], ts[3]) - min(ts[0], ts[2])
+        us = dt / (T2 - T1) * 1e6
         print(
             json.dumps(
                 {
@@ -86,7 +93,7 @@ def main():
                     "unit": "us/step",
                     "nvars": n,
                     "replicas": R,
-                    "site_updates_per_sec": round(n * R * T / dt, 0),
+                    "site_updates_per_sec": round(n * R * (T2 - T1) / dt, 0),
                 }
             ),
             flush=True,
