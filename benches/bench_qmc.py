@@ -31,11 +31,18 @@ def main():
     replicas = 64
     ltau = choose_ltau(beta, gamma)
 
-    sweeps = 2000
-    lat.run_quantum_monte_carlo(beta, sweeps, replicas)  # compile + warm
-    t0 = time.perf_counter()
-    lat.run_quantum_monte_carlo(beta, sweeps, replicas)
-    dt = time.perf_counter() - t0
+    # slope timing between two sweep counts (floor-immune; see
+    # bench_classical_graph.py)
+    t_lo, t_hi = 2000, 8000
+    lat.run_quantum_monte_carlo(beta, t_lo, replicas)  # compile + warm
+    lat.run_quantum_monte_carlo(beta, t_hi, replicas)
+    ts = {t_lo: [], t_hi: []}
+    for t in (t_lo, t_hi, t_lo, t_hi):
+        t0 = time.perf_counter()
+        lat.run_quantum_monte_carlo(beta, t, replicas)
+        ts[t].append(time.perf_counter() - t0)
+    dt = min(ts[t_hi]) - min(ts[t_lo])
+    sweeps = t_hi - t_lo
     updates = replicas * n * ltau * sweeps
     print(
         json.dumps(

@@ -35,11 +35,19 @@ def main():
     ltau = choose_ltau(beta, gamma)
     n = L * L
 
-    sweeps = int(os.environ.get("PMC_BENCH_SWEEPS", "200"))
-    es, _ = lat.run_quantum_monte_carlo(beta, sweeps, replicas)  # compile + warm
-    t0 = time.perf_counter()
-    es, _ = lat.run_quantum_monte_carlo(beta, sweeps, replicas)
-    dt = time.perf_counter() - t0
+    # slope timing between two sweep counts (floor-immune; see
+    # bench_classical_graph.py)
+    t_lo = int(os.environ.get("PMC_BENCH_SWEEPS", "200"))
+    t_hi = 4 * t_lo
+    es, _ = lat.run_quantum_monte_carlo(beta, t_lo, replicas)  # compile + warm
+    lat.run_quantum_monte_carlo(beta, t_hi, replicas)
+    ts = {t_lo: [], t_hi: []}
+    for t in (t_lo, t_hi, t_lo, t_hi):
+        t0 = time.perf_counter()
+        es, _ = lat.run_quantum_monte_carlo(beta, t, replicas)
+        ts[t].append(time.perf_counter() - t0)
+    dt = min(ts[t_hi]) - min(ts[t_lo])
+    sweeps = t_hi - t_lo
     updates = replicas * n * ltau * sweeps
     print(
         json.dumps(

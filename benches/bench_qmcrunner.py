@@ -35,12 +35,19 @@ def main():
         q.add_diagonal_interaction(zz, [i, (i + 1) % n])
         q.add_interaction(np.array([0.0, -gamma, -gamma, 0.0]), [i])
 
-    sweeps = 400
-    q.run_sampling(beta, sweeps)  # compile + warm (+ builds the grid)
+    # slope timing between two sweep counts (floor-immune; see
+    # bench_classical_graph.py)
+    t_lo, t_hi = 400, 1600
+    q.run_sampling(beta, t_lo)  # compile + warm (+ builds the grid)
+    q.run_sampling(beta, t_hi)
     w = q._w
-    t0 = time.perf_counter()
-    q.run_sampling(beta, sweeps)
-    dt = time.perf_counter() - t0
+    ts = {t_lo: [], t_hi: []}
+    for t in (t_lo, t_hi, t_lo, t_hi):
+        t0 = time.perf_counter()
+        q.run_sampling(beta, t)
+        ts[t].append(time.perf_counter() - t0)
+    dt = min(ts[t_hi]) - min(ts[t_lo])
+    sweeps = t_hi - t_lo
     updates = replicas * n * w.Lt * sweeps
     print(
         json.dumps(

@@ -69,12 +69,20 @@ def main():
     beta = 1.0
     q = build(n, replicas, gamma=1.0, jx=0.5, k3=0.25)
 
-    sweeps = 200
-    q.run_sampling(beta, sweeps)  # compile + warm (+ builds the grid)
+    # slope timing between two sweep counts: the axon tunnel adds a
+    # ~30-90 ms fixed floor per dispatch which a single-run/T division
+    # would misattribute to the sweeps
+    t_lo, t_hi = 200, 800
+    q.run_sampling(beta, t_lo)  # compile + warm (+ builds the grid)
+    q.run_sampling(beta, t_hi)
     w = q._w
-    t0 = time.perf_counter()
-    q.run_sampling(beta, sweeps)
-    dt = time.perf_counter() - t0
+    ts = {t_lo: [], t_hi: []}
+    for t in (t_lo, t_hi, t_lo, t_hi):
+        t0 = time.perf_counter()
+        q.run_sampling(beta, t)
+        ts[t].append(time.perf_counter() - t0)
+    dt = min(ts[t_hi]) - min(ts[t_lo])
+    sweeps = t_hi - t_lo
     updates = replicas * n * w.Lt * sweeps
     print(
         json.dumps(

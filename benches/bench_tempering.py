@@ -38,11 +38,18 @@ def main():
     for b in np.geomspace(0.2, 3.0, nrep):
         lt.add_graph(1.0, 0.0, float(b))
 
-    sweeps = 500
-    lt.qmc_timesteps_sample(sweeps, replica_swap_freq=1)  # compile + warm
-    t0 = time.perf_counter()
-    lt.qmc_timesteps_sample(sweeps, replica_swap_freq=1)
-    dt = time.perf_counter() - t0
+    # slope timing between two sweep counts (floor-immune; see
+    # bench_classical_graph.py)
+    t_lo, t_hi = 500, 2000
+    lt.qmc_timesteps_sample(t_lo, replica_swap_freq=1)  # compile + warm
+    lt.qmc_timesteps_sample(t_hi, replica_swap_freq=1)
+    ts = {t_lo: [], t_hi: []}
+    for t in (t_lo, t_hi, t_lo, t_hi):
+        t0 = time.perf_counter()
+        lt.qmc_timesteps_sample(t, replica_swap_freq=1)
+        ts[t].append(time.perf_counter() - t0)
+    dt = min(ts[t_hi]) - min(ts[t_lo])
+    sweeps = t_hi - t_lo
     # one swap phase per sweep; (nrep-1)/2 eligible pairs per phase
     attempts = sweeps * (nrep - 1) / 2
     print(

@@ -70,7 +70,9 @@ _VMEM_LIMIT = 40 * 1024 * 1024  # scoped-vmem cap (phases hold ~8 live planes)
 # 3x the worldline). Per-row exactness bound: elements stay exact integers
 # while 2*L*t <= 2^24, enforced by host-side dispatch chunking.
 _MAX_PLANE_BYTES_LARGE = 16 * 1024 * 1024
-_VMEM_LIMIT_LARGE = 100 * 1024 * 1024
+# a 256^2 (beta=2) torus needs 101.6 MB scoped vmem (measured: compiler OOM
+# at a 100 MB cap); v5e has 128 MB physical VMEM
+_VMEM_LIMIT_LARGE = 112 * 1024 * 1024
 
 
 def _plane_bytes(nvars: int, ltau: int) -> int:

@@ -104,3 +104,26 @@ def test_ladder_kernel_trajectory_independent_of_batch():
 
     # replica 0 has identical (seed, params, state) in both ladders
     np.testing.assert_array_equal(run(2)[0], run(4)[0])
+
+
+def test_wl_kernel_row_accumulator_mode_matches_planes(monkeypatch):
+    """Large-spatial (row-accumulator) mode: forcing ``_acc_rows`` on by
+    shrinking the plane gate must leave trajectories AND estimator sums
+    bit-identical — the mode only changes the estimator accumulator layout
+    ([3, 8, RN] sublane-reduced rows vs full [3, L, RN] planes), never the
+    sweep randomness (VERDICT round-2 item 6)."""
+    from pyisingmontecarlo_tpu.ops import wl_pallas as wp
+
+    nvars, L, R = 8, 8, 2
+    rng = np.random.default_rng(3)
+    s0 = (rng.integers(0, 2, (R, nvars, L)).astype(np.int8) * 2 - 1)
+    seeds = np.array([101, -7], np.int32)
+    dense = ("ring", nvars, -1.0)
+
+    ref_s, ref_e = _wl_trajectories(seeds, s0, 4, dense, 2.0, 1.0, 0.1, L)
+    assert not wp._acc_rows(nvars, L)
+    monkeypatch.setattr(wp, "_MAX_PLANE_BYTES", 16)  # force row mode
+    assert wp._acc_rows(nvars, L)
+    row_s, row_e = _wl_trajectories(seeds, s0, 4, dense, 2.0, 1.0, 0.1, L)
+    np.testing.assert_array_equal(ref_s, row_s)
+    np.testing.assert_allclose(ref_e, row_e, rtol=0, atol=1e-12)
