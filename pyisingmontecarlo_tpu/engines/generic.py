@@ -507,95 +507,108 @@ def regrid_worldline(s_old, comp_new: Compiled, Lt_new: int) -> np.ndarray:
 # ------------------------------------------------------------------ weights
 
 
-def _term_logw(cls: ArityClass, s, g_of_l):
-    """Per-term log-weight contributions [R, T, Lt] at every transfer
-    (zero where the term's group is inactive; the activity mask is a
-    compile-time constant)."""
-    R, _, Lt = s.shape
-    bits = (jnp.take(s, cls.vars.reshape(-1), axis=1).reshape(R, *cls.vars.shape, Lt) > 0)
+def _group_views(s, G: int):
+    """[R, n, Lt] -> per-group (in, out) state views, each [R, n, ltau].
+
+    The transfer at sub-slice ``l = G*t + g`` maps state ``s[.., l]`` to
+    ``s[.., l+1]``: within a Trotter slice the out-state is the next group's
+    plane at the same t; the last group wraps to group 0 of slice t+1."""
+    R, n, Lt = s.shape
+    lt = Lt // G
+    s4 = s.reshape(R, n, lt, G)
+    ins = [s4[:, :, :, g] for g in range(G)]
+    outs = [
+        s4[:, :, :, g + 1] if g + 1 < G else jnp.roll(s4[:, :, :, 0], -1, axis=2)
+        for g in range(G)
+    ]
+    return ins, outs
+
+
+def _class_block(cls: ArityClass, tab, sel: np.ndarray, s_in, s_out, floor):
+    """Select-chain table evaluation for the ``sel`` terms of ``cls`` against
+    coefficient table ``tab`` ([T, 2^k, 2^k]), on one group's state planes
+    ``s_in``/``s_out`` [R, n, ltau]. Returns [R, len(sel), ltau].
+
+    This is the engine's hot inner loop: a fused select chain over the
+    class's ALLOWED (in, out) index pairs, with per-term coefficient rows —
+    no 3-index gathers (the round-2 160x finding), and — round 3 — evaluated
+    ONLY on the sub-slices where the terms' Trotter group is active (a G-fold
+    arithmetic reduction over the full-Lt masked evaluation; ``floor`` seeds
+    the accumulator: the clamp value for log-weights, 0 for estimators)."""
+    R, _, lt = s_in.shape
+    vs = cls.vars[sel]  # [Tg, k] np const
+    tab_g = tab[jnp.asarray(sel)] if sel.size != tab.shape[0] else tab
+    bin_ = jnp.take(s_in, vs.reshape(-1), axis=1).reshape(R, *vs.shape, lt) > 0
+    bout = jnp.take(s_out, vs.reshape(-1), axis=1).reshape(R, *vs.shape, lt) > 0
     if cls.k == 1:
-        # 1-local terms: the 2x2 table lookup is 3 selects against per-term
-        # coefficient rows — cheaper than a 3-index vector gather on TPU
-        b_in = bits[:, :, 0, :]
-        b_out = jnp.roll(b_in, -1, axis=2)
-        t00 = cls.logT[None, :, 0, 0, None]
-        t01 = cls.logT[None, :, 0, 1, None]
-        t10 = cls.logT[None, :, 1, 0, None]
-        t11 = cls.logT[None, :, 1, 1, None]
-        lw = jnp.where(
+        b_in, b_out = bin_[:, :, 0, :], bout[:, :, 0, :]
+        return jnp.where(
             b_in == b_out,
-            jnp.where(b_in, t11, t00),
-            jnp.where(b_in, t10, t01),
+            jnp.where(b_in, tab_g[None, :, 1, 1, None], tab_g[None, :, 0, 0, None]),
+            jnp.where(b_in, tab_g[None, :, 1, 0, None], tab_g[None, :, 0, 1, None]),
         )
-    elif cls.diag_only:
-        # fully diagonal class (ZZ bonds, ZZZ triples, ...): the transfer
-        # forbids any change across it, and the diagonal value is one of 2^k
-        # per-term coefficients — selects instead of a 3-index gather
+    pw = (2 ** np.arange(cls.k, dtype=np.int32))[None, None, :, None]
+    idx = (bin_.astype(jnp.int32) * pw).sum(2)  # [R, Tg, lt]
+    idx_out = (bout.astype(jnp.int32) * pw).sum(2)
+    if cls.diag_only:
         dim = 2**cls.k
-        pw = (2 ** np.arange(cls.k, dtype=np.int32))[None, None, :, None]
-        idx = (bits.astype(jnp.int32) * pw).sum(2)
-        idx_out = jnp.roll(idx, -1, axis=2)
-        d = jnp.broadcast_to(cls.logT[None, :, 0, 0, None], idx.shape)
+        d = jnp.broadcast_to(tab_g[None, :, 0, 0, None], idx.shape)
         for v in range(1, dim):
-            d = jnp.where(idx == v, cls.logT[None, :, v, v, None], d)
-        lw = jnp.where(idx == idx_out, d, _NEG)
-    else:
-        # off-diagonal k-local (k >= 2, e.g. XX bonds): fused select chain
-        # over only the ALLOWED (in, out) pairs of the class, against
-        # per-term coefficient rows. Replaces both the serializing 3-index
-        # vector gather (the round-2 fast paths' 160x finding) and a one-hot
-        # contraction whose [R, T, Lt, 2^k] materialization was
-        # bandwidth-bound; the chain is one pass over [R, T, Lt] with the
-        # pair tests in registers. Disallowed pairs share the exact clamp
-        # floor value, which seeds the accumulator.
-        pw = (2 ** np.arange(cls.k, dtype=np.int32))[None, None, :, None]
-        idx = (bits.astype(jnp.int32) * pw).sum(2)  # [R, T, Lt]
-        idx_out = jnp.roll(idx, -1, axis=2)
-        lw = jnp.full_like(idx, np.float32(np.log(1e-300)), dtype=_F)
-        for a, b in cls.pairs:
-            hit = (idx == int(a)) & (idx_out == int(b))
-            lw = jnp.where(hit, cls.logT[None, :, int(a), int(b), None], lw)
-    active = cls.group[None, :, None] == g_of_l[None, None, :]  # np const
-    return jnp.where(active, lw, 0.0)
+            d = jnp.where(idx == v, tab_g[None, :, v, v, None], d)
+        return jnp.where(idx == idx_out, d, floor)
+    out = jnp.full_like(idx, floor, dtype=_F)
+    for a, b in cls.pairs:
+        hit = (idx == int(a)) & (idx_out == int(b))
+        out = jnp.where(hit, tab_g[None, :, int(a), int(b), None], out)
+    return out
+
+
+def _infer_G(g_of_l) -> int:
+    G = int(np.max(g_of_l)) + 1
+    # every caller builds g_of_l = arange(Lt) % G; group blocking relies on it
+    assert np.array_equal(np.asarray(g_of_l), np.arange(len(g_of_l)) % G)
+    return G
+
+
+def _term_logw(cls: ArityClass, s, g_of_l):
+    """Per-term log-weight contributions [R, T, Lt] at every transfer (zero
+    where the term's group is inactive). Internally group-blocked: the select
+    chains run only on each term's own G-th of the sub-slices."""
+    R, _, Lt = s.shape
+    G = _infer_G(g_of_l)
+    lt = Lt // G
+    T = cls.vars.shape[0]
+    ins, outs = _group_views(s, G)
+    out = jnp.zeros((R, T, lt, G), _F)
+    for g in range(G):
+        sel = np.nonzero(cls.group == g)[0]
+        if sel.size == 0:
+            continue
+        lw_g = _class_block(cls, cls.logT, sel, ins[g], outs[g], _NEG)
+        # g as a length-1 slice: a scalar index next to the advanced `sel`
+        # array would trigger NumPy's moved-to-front advanced-indexing rule
+        out = out.at[:, sel, :, g : g + 1].set(lw_g[..., None])
+    return out.reshape(R, T, Lt)
 
 
 def _term_energy(cls: ArityClass, s, g_of_l):
+    """Per-term energy-estimator contributions [R, T, Lt]; group-blocked like
+    _term_logw. Transfers forbidden by the log-weight never occur in sampled
+    states, so their floored value (0.0) is immaterial — and finite (no
+    0 * inf NaN hazard)."""
     R, _, Lt = s.shape
-    bits = (jnp.take(s, cls.vars.reshape(-1), axis=1).reshape(R, *cls.vars.shape, Lt) > 0)
-    if cls.k == 1:  # select against coefficient rows (see _term_logw)
-        b_in = bits[:, :, 0, :]
-        b_out = jnp.roll(b_in, -1, axis=2)
-        e00 = cls.esti[None, :, 0, 0, None]
-        e01 = cls.esti[None, :, 0, 1, None]
-        e10 = cls.esti[None, :, 1, 0, None]
-        e11 = cls.esti[None, :, 1, 1, None]
-        ev = jnp.where(
-            b_in == b_out,
-            jnp.where(b_in, e11, e00),
-            jnp.where(b_in, e10, e01),
-        )
-    elif cls.diag_only:
-        dim = 2**cls.k
-        pw = (2 ** np.arange(cls.k, dtype=np.int32))[None, None, :, None]
-        idx = (bits.astype(jnp.int32) * pw).sum(2)
-        ev = jnp.broadcast_to(cls.esti[None, :, 0, 0, None], idx.shape)
-        for v in range(1, dim):
-            ev = jnp.where(idx == v, cls.esti[None, :, v, v, None], ev)
-        # mismatched in/out across a diagonal transfer is forbidden (weight
-        # e^-690); it never occurs in sampled states, value immaterial
-    else:
-        # allowed-pair select chain (see _term_logw); disallowed transfers
-        # are never realized in sampled states, so their 0.0 default is
-        # immaterial (and finite — no 0 * inf NaN hazard)
-        pw = (2 ** np.arange(cls.k, dtype=np.int32))[None, None, :, None]
-        idx = (bits.astype(jnp.int32) * pw).sum(2)
-        idx_out = jnp.roll(idx, -1, axis=2)
-        ev = jnp.zeros_like(idx, dtype=_F)
-        for a, b in cls.pairs:
-            hit = (idx == int(a)) & (idx_out == int(b))
-            ev = jnp.where(hit, cls.esti[None, :, int(a), int(b), None], ev)
-    active = cls.group[None, :, None] == g_of_l[None, None, :]
-    return jnp.where(active, ev, 0.0)  # [R, T, Lt]
+    G = _infer_G(g_of_l)
+    lt = Lt // G
+    T = cls.vars.shape[0]
+    ins, outs = _group_views(s, G)
+    out = jnp.zeros((R, T, lt, G), _F)
+    for g in range(G):
+        sel = np.nonzero(cls.group == g)[0]
+        if sel.size == 0:
+            continue
+        ev_g = _class_block(cls, cls.esti, sel, ins[g], outs[g], jnp.float32(0.0))
+        out = out.at[:, sel, :, g : g + 1].set(ev_g[..., None])
+    return out.reshape(R, T, Lt)
 
 
 def _delta_logw(touched, s, g_of_l):
@@ -657,11 +670,15 @@ def _flip_delta_per_site(comp: Compiled, s, s_new, c: int):
     g_of_l = np.arange(s.shape[2]) % comp.G
     sites = comp.color_sites[c]
     R, _, Lt = s.shape
+    G = comp.G
+    lt = Lt // G
     Cc = sites.shape[0]
-    d = jnp.zeros((R, Cc, Lt), _F)
+    d4 = jnp.zeros((R, Cc, lt, G), _F)
     # map var id -> position within color class (static)
     pos_of = np.full(int(comp.touched.shape[0]), -1, np.int32)
     pos_of[sites] = np.arange(Cc)
+    ins, outs = _group_views(s, G)
+    ins_n, outs_n = _group_views(s_new, G)
     for cls in comp.classes:
         cv = cls.cvar[c]  # [T] var id or -1 (np const)
         sel = np.nonzero(cv >= 0)[0]
@@ -673,8 +690,17 @@ def _flip_delta_per_site(comp: Compiled, s, s_new, c: int):
         if sel.size < cv.shape[0]:
             cls = _subset_class(cls, sel)
             cv = cv[sel]
-        dw = _term_logw(cls, s_new, g_of_l) - _term_logw(cls, s, g_of_l)  # [R,Tc,Lt]
-        d = d.at[:, pos_of[cv], :].add(dw)
+        # group-blocked delta: the select chains run only on each term's own
+        # G-th of the sub-slices (round-3 profile: these chains dominated the
+        # sweep at ~G-fold redundancy under the old full-Lt masked form)
+        for g in range(G):
+            sel_g = np.nonzero(cls.group == g)[0]
+            if sel_g.size == 0:
+                continue
+            dw = _class_block(cls, cls.logT, sel_g, ins_n[g], outs_n[g], _NEG) - \
+                _class_block(cls, cls.logT, sel_g, ins[g], outs[g], _NEG)
+            d4 = d4.at[:, pos_of[cv[sel_g]], :, g : g + 1].add(dw[..., None])
+    d = d4.reshape(R, Cc, Lt)
     dd = _delta_logw(comp.touched, s_new, g_of_l) - _delta_logw(comp.touched, s, g_of_l)
     d = d + dd[:, sites, :]
     return d

@@ -12,5 +12,5 @@ print("jax:", jax.__version__)
 d = jax.devices()[0]
 print("device:", d.platform, getattr(d, "device_kind", "?"))
 PY
-  PMC_TESTS_TPU=1 python -m pytest tests/test_pallas_tpu.py tests/test_lanerng.py -q -rs 2>&1
+  PMC_TESTS_TPU=1 python -m pytest tests/test_pallas_tpu.py -q -rs 2>&1
 } | tee "$OUT"

