@@ -59,9 +59,6 @@ _BF = jnp.bfloat16
 # dense-coupling (MXU) fast path applies up to this nvars: the [n, n] hi+lo
 # bf16 coupling matrix costs 4*n^2 bytes (268 MB at the 8192 default)
 _DENSE_MAX = int(os.environ.get("PMC_DENSE_MAX", "8192"))
-# per-strong-class A-row stacks for edge pair moves cost 8*E*n bytes; skip
-# them past this bound and fall back to ELL gathers
-_ROWSTACK_MAX_BYTES = 384 * 1024 * 1024
 
 
 class GraphArrays(NamedTuple):
@@ -101,11 +98,10 @@ class GraphArrays(NamedTuple):
     # local fields become [Cc, n] @ [n, R] MXU matmuls with f32 accumulation
     A_hi: Optional[jax.Array] = None  # [nvars, nvars] bf16
     A_lo: Optional[jax.Array] = None
-    # per-strong-edge-class stacks of A rows at the pair endpoints
-    ea_rows_hi: Tuple[jax.Array, ...] = ()
-    ea_rows_lo: Tuple[jax.Array, ...] = ()
-    eb_rows_hi: Tuple[jax.Array, ...] = ()
-    eb_rows_lo: Tuple[jax.Array, ...] = ()
+    # int8 coupling matrix when every J is an integer with |J| <= 127 (the
+    # +-J glass case): spins are int8 +-1 natively, so the local field is an
+    # exact int8 x int8 -> int32 MXU matmul streaming HALF the bytes of bf16
+    A_i8: Optional[jax.Array] = None
 
 
 def _slot_eid_np(cg: CompiledGraph) -> np.ndarray:
@@ -197,23 +193,15 @@ def device_graph_sorted(cg: CompiledGraph, dense: Optional[bool] = None) -> Grap
 
     if dense is None:
         dense = n <= _DENSE_MAX
-    A_hi = A_lo = None
-    rows = {"ea_hi": (), "ea_lo": (), "eb_hi": (), "eb_lo": ()}
+    A_hi = A_lo = A_i8 = None
     strong = cg.strong_ecolor_edges
     if dense:
         A = np.zeros((n, n), np.float64)
         np.add.at(A, (ea, eb), cg.edge_j)
         np.add.at(A, (eb, ea), cg.edge_j)
         A_hi, A_lo = _split_hi_lo(A)
-        if 8 * cg.nedges * n <= _ROWSTACK_MAX_BYTES:
-            sa = [_split_hi_lo(A[ea[e]]) for e in strong]
-            sb = [_split_hi_lo(A[eb[e]]) for e in strong]
-            rows = {
-                "ea_hi": tuple(h for h, _ in sa),
-                "ea_lo": tuple(l for _, l in sa),
-                "eb_hi": tuple(h for h, _ in sb),
-                "eb_lo": tuple(l for _, l in sb),
-            }
+        if np.array_equal(A, np.round(A)) and np.abs(A).max() <= 127:
+            A_i8 = jnp.asarray(A, jnp.int8)
 
     return GraphArrays(
         neighbors=jnp.asarray(nbrs, jnp.int32),
@@ -237,10 +225,7 @@ def device_graph_sorted(cg: CompiledGraph, dense: Optional[bool] = None) -> Grap
         iperm=jnp.asarray(iperm, jnp.int32),
         A_hi=A_hi,
         A_lo=A_lo,
-        ea_rows_hi=rows["ea_hi"],
-        ea_rows_lo=rows["ea_lo"],
-        eb_rows_hi=rows["eb_hi"],
-        eb_rows_lo=rows["eb_lo"],
+        A_i8=A_i8,
     )
 
 
@@ -348,6 +333,23 @@ def _color_bounds(ga) -> Tuple[int, ...]:
     return tuple(offs)
 
 
+def _dense_field(ga, s, lo=None, hi=None):
+    """Local-field rows ``B = (A @ s)[lo:hi]`` on the MXU ([rows, R] f32).
+    Spins are int8 +-1, so the integer-coupling path is an exact
+    int8 x int8 -> int32 matmul (half the HBM bytes of bf16); otherwise
+    hi(/lo) bf16 planes with f32 accumulation."""
+    if ga.A_i8 is not None:
+        Am = ga.A_i8 if lo is None else lax.slice_in_dim(ga.A_i8, lo, hi, axis=0)
+        return jnp.dot(Am, s, preferred_element_type=jnp.int32).astype(_F)
+    sbf = s.astype(_BF)
+    Am = ga.A_hi if lo is None else lax.slice_in_dim(ga.A_hi, lo, hi, axis=0)
+    B = jnp.dot(Am, sbf, preferred_element_type=_F)
+    if ga.A_lo is not None:
+        Al = ga.A_lo if lo is None else lax.slice_in_dim(ga.A_lo, lo, hi, axis=0)
+        B = B + jnp.dot(Al, sbf, preferred_element_type=_F)
+    return B
+
+
 def _spin_color_update(ga, bias, s, subkeys, beta, c: int, heatbath: bool):
     """s is site-major [nvars, R]: neighbor spins are row gathers.
 
@@ -359,14 +361,7 @@ def _spin_color_update(ga, bias, s, subkeys, beta, c: int, heatbath: bool):
     if ga.A_hi is not None:
         offs = _color_bounds(ga)
         lo, hi = offs[c], offs[c + 1]
-        sbf = s.astype(_BF)
-        B = jnp.dot(
-            lax.slice_in_dim(ga.A_hi, lo, hi, axis=0), sbf, preferred_element_type=_F
-        )
-        if ga.A_lo is not None:
-            B = B + jnp.dot(
-                lax.slice_in_dim(ga.A_lo, lo, hi, axis=0), sbf, preferred_element_type=_F
-            )
+        B = _dense_field(ga, s, lo, hi)
         si = lax.slice_in_dim(s, lo, hi, axis=0)  # [Cc, R]
         dE = -2.0 * si.astype(_F) * (B + lax.slice_in_dim(bias, lo, hi)[:, None])
         u = _uniform_lanes(subkeys, (hi - lo,))
@@ -403,15 +398,14 @@ def _edge_color_update(ga, bias, s, subkeys, beta, c: int, heatbath: bool, iw=No
     a, b, j = ga.e_a[c], ga.e_b[c], ga.e_j[c]
     sa = jnp.take(s, a, axis=0).astype(_F)  # [Ec, R]
     sb = jnp.take(s, b, axis=0).astype(_F)
-    if ga.ea_rows_hi:
-        # endpoint fields as MXU matmuls over precomputed A-row stacks
-        sbf = s.astype(_BF)
-        Ba = jnp.dot(ga.ea_rows_hi[c], sbf, preferred_element_type=_F)
-        Bb = jnp.dot(ga.eb_rows_hi[c], sbf, preferred_element_type=_F)
-        if ga.ea_rows_lo[c] is not None:
-            Ba = Ba + jnp.dot(ga.ea_rows_lo[c], sbf, preferred_element_type=_F)
-        if ga.eb_rows_lo[c] is not None:
-            Bb = Bb + jnp.dot(ga.eb_rows_lo[c], sbf, preferred_element_type=_F)
+    if ga.A_hi is not None:
+        # one full-field MXU matmul, then row gathers at the pair endpoints —
+        # replaces the round-3-draft per-class A-row stacks (those streamed
+        # 2E x n extra matrix bytes per sweep; the full product is n x n once
+        # per class and the endpoint rows are cheap static row gathers)
+        B_all = _dense_field(ga, s)
+        Ba = jnp.take(B_all, a, axis=0)
+        Bb = jnp.take(B_all, b, axis=0)
     else:
         na, ja = ga.e_a_nbrs[c], ga.e_a_j[c]
         nb_, jb = ga.e_b_nbrs[c], ga.e_b_j[c]

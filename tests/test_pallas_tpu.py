@@ -20,6 +20,11 @@ pytestmark = pytest.mark.skipif(
     jax.devices()[0].platform in ("cpu", "gpu"), reason="needs a TPU backend"
 )
 
+if jax.devices()[0].platform not in ("cpu", "gpu"):
+    # stamp the hardware identity into captured runs (tests/artifacts/)
+    _d = jax.devices()[0]
+    print("device:", _d.platform, getattr(_d, "device_kind", "?"), flush=True)
+
 
 @pytest.mark.parametrize("L", [32, 64, 128])
 def test_widened_gate_physics_matches_xla(L):
