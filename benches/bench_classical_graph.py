@@ -49,21 +49,34 @@ def main():
     from pyisingmontecarlo_tpu.engines import classical as ce
     from pyisingmontecarlo_tpu.graph import compile_graph
 
-    n, R, beta = 4096, 64, 1.5
-    cg = compile_graph(random_regular_pm_j(n, 2, seed=7))
-    ga = ce.device_graph_sorted(cg)
-    bias = jnp.zeros((n,), jnp.float32)
-    keys = prng.keys_from_seeds(prng.MasterRng(3).make_seeds(R))
-    s = ce.random_states(keys, n)
+    # two sizes on purpose: n=4096 rides the dense-coupling MXU path, n=16384
+    # crosses the _DENSE_MAX=8192 boundary onto the padded-ELL gather path
+    # (engines/classical.py; PMC_DENSE_MAX env raises the cliff) — the
+    # spin-family number at n=16384 prices that cliff for users
+    # (VERDICT round-3 weak 8).
+    sizes = [(4096, None), (16384, ("spin",))]
+    for n, only_fams in sizes:
+        R, beta = 64, 1.5
+        cg = compile_graph(random_regular_pm_j(n, 2, seed=7))
+        ga = ce.device_graph_sorted(cg)
+        bias = jnp.zeros((n,), jnp.float32)
+        keys = prng.keys_from_seeds(prng.MasterRng(3).make_seeds(R))
+        s = ce.random_states(keys, n)
+        _bench_families(ce, jnp, ga, bias, s, keys, n, R, beta, only_fams)
 
+
+def _bench_families(ce, jnp, ga, bias, s, keys, n, R, beta, only_fams=None):
     fams = {
         "spin": dict(nspin_sweeps=1, nedge_sweeps=0, nworms=0, nclusters=0),
         "edge": dict(nspin_sweeps=0, nedge_sweeps=1, nworms=0, nclusters=0),
         "worm": dict(nspin_sweeps=0, nedge_sweeps=0, nworms=1, nclusters=0),
         "sw": dict(nspin_sweeps=0, nedge_sweeps=0, nworms=0, nclusters=1),
+        "default": dict(nspin_sweeps=1, nedge_sweeps=1, nworms=1, nclusters=0),
     }
-    steps = {"spin": 512, "edge": 512, "worm": 512, "sw": 64}
+    steps = {"spin": 512, "edge": 512, "worm": 512, "sw": 64, "default": 256}
     for name, kw in fams.items():
+        if only_fams is not None and name not in only_fams:
+            continue
         # axon: every dispatch carries a ~30-90 ms tunnel floor and
         # block_until_ready does not block. Measure the SLOPE between two
         # dispatch lengths (each forced by a host transfer), best-of-2 per
@@ -93,6 +106,7 @@ def main():
                     "unit": "us/step",
                     "nvars": n,
                     "replicas": R,
+                    "path": "ell" if ga.A_hi is None else "dense",
                     "site_updates_per_sec": round(n * R * (T2 - T1) / dt, 0),
                 }
             ),

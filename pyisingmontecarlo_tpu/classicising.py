@@ -27,7 +27,6 @@ from .rng import MasterRng, keys_from_seeds
 
 __all__ = ["ClassicIsing"]
 
-_DEF_WLEN = 32
 
 
 class ClassicIsing:
@@ -149,7 +148,7 @@ class ClassicIsing:
             nworms=nworms,
             only_basic=only,
             heatbath=False,
-            wlen=min(self.nvars, _DEF_WLEN),
+            wlen=min(self.nvars, ce.DEFAULT_WLEN),
             nclusters=1 if (self.enable_cluster and not only) else 0,
             extras_defaulted=nedge is None and nworm is None,
             iw=self._iw() if not only else None,

@@ -957,8 +957,11 @@ class GenericWorldline:
         keys,
         states0,  # [R, nvars] int8 classical start
         do_loop_updates: bool,
-        dtau_target: float = DEFAULT_DTAU,
+        dtau_target=None,
     ):
+        from .worldline import resolve_dtau
+
+        dtau_target = resolve_dtau(dtau_target, default=DEFAULT_DTAU)
         self.ts = termset
         self.beta = float(beta)
         norm = max(

@@ -28,7 +28,6 @@ from .rng import MasterRng, keys_from_seeds
 
 __all__ = ["Lattice"]
 
-_DEF_WLEN = 32
 
 
 class Lattice:
@@ -40,12 +39,25 @@ class Lattice:
     preallocated dense arrays, so the flag is accepted and ignored.
     """
 
-    def __init__(self, edges: Sequence, seed_gen: Optional[int] = None, use_allocator: bool = True):
+    def __init__(
+        self,
+        edges: Sequence,
+        seed_gen: Optional[int] = None,
+        use_allocator: bool = True,
+        *,
+        dtau: Optional[float] = None,
+    ):
         self.edges = [((int(a), int(b)), float(j)) for (a, b), j in edges]
         self.cg = compile_graph(self.edges)
         self.nvars = self.cg.nvars
         self.rng = MasterRng(seed_gen)
         self.use_allocator = bool(use_allocator)
+        # Framework extension (no reference analogue): Trotter-step target for
+        # the quantum methods. The reference's SSE has zero Trotter bias by
+        # construction (qmcising.rs:37-143); the worldline formulation's bias
+        # is O(dtau^2) and this knob (or PMC_DTAU) controls it — see
+        # docs/DESIGN.md "Trotter error control".
+        self.dtau = dtau
         # bias: ("global", x) or ("individual", np.ndarray) — BiasType enum
         # parity (lattice.rs:18-22)
         self.bias = ("global", 0.0)
@@ -139,6 +151,7 @@ class Lattice:
         other.enable_rvb = self.enable_rvb
         other.enable_heatbath = self.enable_heatbath
         other.enable_cluster = self.enable_cluster
+        other.dtau = self.dtau
         other._ga = self._ga
         other._torus = self._torus
         return other
@@ -215,7 +228,7 @@ class Lattice:
             nworms=0 if only_basic else 1,
             only_basic=only_basic,
             heatbath=self.enable_heatbath,
-            wlen=min(self.nvars, _DEF_WLEN),
+            wlen=min(self.nvars, ce.DEFAULT_WLEN),
             nclusters=1 if (self.enable_cluster and not only_basic) else 0,
             # importance-sampled edge-move attempts (lattice.rs:200): attempt
             # probability follows |J_e| (see engines/classical.importance_weights)
@@ -403,6 +416,7 @@ class Lattice:
             initial_state=init,
             enable_rvb=self.enable_rvb,
             enable_heatbath=self.enable_heatbath,
+            dtau=self.dtau,
         )
 
     def run_quantum_monte_carlo(self, beta: float, timesteps: int, num_experiments: int):

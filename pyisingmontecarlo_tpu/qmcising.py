@@ -59,6 +59,8 @@ class QmcIsing:
         use_allocator: bool = True,
         do_heatbath_updates: bool = False,
         do_rvb_updates: bool = False,
+        *,
+        dtau: Optional[float] = None,
     ):
         self.edges = [((int(a), int(b)), float(j)) for (a, b), j in edges]
         self.cg = compile_graph(self.edges)
@@ -72,6 +74,10 @@ class QmcIsing:
         self.use_allocator = bool(use_allocator)
         self.enable_heatbath = bool(do_heatbath_updates)
         self.enable_rvb = bool(do_rvb_updates)
+        # Trotter-step target (framework extension; None -> PMC_DTAU env ->
+        # engine default). The reference's SSE is Trotter-bias-free
+        # (qmcising.rs:37-143); see docs/DESIGN.md "Trotter error control".
+        self.dtau = dtau
         self._keys = None  # [R] typed keys (pre-materialization)
         self._init_states = None  # [R, nvars] int8
         self._w: Optional[wl.WorldlineEnsemble] = None
@@ -134,14 +140,14 @@ class QmcIsing:
                 enable_heatbath=self.enable_heatbath,
                 states=jnp.broadcast_to(
                     self._init_states[:, :, None],
-                    (R, self.nvars, wl.choose_ltau(b, self.transverse)),
+                    (R, self.nvars, wl.choose_ltau(b, self.transverse, self.dtau)),
                 ),
-                ltau=wl.choose_ltau(b, self.transverse),
+                ltau=wl.choose_ltau(b, self.transverse, self.dtau),
             )
             self._keys = self._init_states = None
         elif beta is not None and float(beta) != self._w.beta:
             b = float(beta)
-            Lnew = wl.choose_ltau(b, self.transverse)
+            Lnew = wl.choose_ltau(b, self.transverse, self.dtau)
             s = self._w.s
             if Lnew != self._w.L:
                 idx = (np.arange(Lnew) * self._w.L // Lnew).astype(np.int32)

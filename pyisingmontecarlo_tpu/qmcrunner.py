@@ -53,6 +53,8 @@ class QmcRunner:
         use_allocator: bool = True,
         do_loop_updates: bool = False,
         do_heatbath_updates: bool = False,
+        *,
+        dtau: Optional[float] = None,
     ):
         self.nvars = int(nvars)
         if self.nvars <= 0:
@@ -61,6 +63,10 @@ class QmcRunner:
         self.use_allocator = bool(use_allocator)
         self.do_loop_updates = bool(do_loop_updates)
         self.do_heatbath_updates = bool(do_heatbath_updates)
+        # Trotter-step target (framework extension; None -> PMC_DTAU env ->
+        # engine default). The reference's SSE is Trotter-bias-free
+        # (qmcising.rs:37-143); see docs/DESIGN.md "Trotter error control".
+        self.dtau = dtau
         self.terms = ge.TermSet(self.nvars)
         self._keys = None
         self._init_states = None  # [R, nvars] int8 random starts (qmcrunner.rs:69)
@@ -104,7 +110,8 @@ class QmcRunner:
         if old is None:
             return
         self._w = ge.GenericWorldline(
-            self.terms, old.beta, old.keys, old.s[:, :, 0], self.do_loop_updates
+            self.terms, old.beta, old.keys, old.s[:, :, 0], self.do_loop_updates,
+            dtau_target=self.dtau,
         )
         self._w.s = jnp.asarray(
             ge.regrid_worldline(old.s, self._w.comp, self._w.Lt), old.s.dtype
@@ -149,6 +156,7 @@ class QmcRunner:
                 self._keys,
                 self._init_states,
                 self.do_loop_updates,
+                dtau_target=self.dtau,
             )
             self._keys = self._init_states = None
         elif float(beta) != self._w.beta:
@@ -163,7 +171,8 @@ class QmcRunner:
             # re-equilibrates.
             old = self._w
             self._w = ge.GenericWorldline(
-                self.terms, float(beta), old.keys, old.s[:, :, 0], self.do_loop_updates
+                self.terms, float(beta), old.keys, old.s[:, :, 0], self.do_loop_updates,
+                dtau_target=self.dtau,
             )
             if self._w.Lt == old.Lt:
                 self._w.s = old.s

@@ -307,7 +307,14 @@ class LatticeTempering:
     (tempering.rs:43-67); ``cutoff = nvars`` (tempering.rs:51) is retained as
     an informational attribute (the worldline tau axis plays that role)."""
 
-    def __init__(self, edges: Sequence, seed: Optional[int] = None, use_allocator: bool = True):
+    def __init__(
+        self,
+        edges: Sequence,
+        seed: Optional[int] = None,
+        use_allocator: bool = True,
+        *,
+        dtau: Optional[float] = None,
+    ):
         self.edges = [((int(a), int(b)), float(j)) for (a, b), j in edges]
         nvars, _, _, _ = parse_edges(self.edges)
         self.nvars = nvars
@@ -315,6 +322,9 @@ class LatticeTempering:
         self.seed = seed
         self.rng = MasterRng(seed)
         self.use_allocator = bool(use_allocator)
+        # Trotter-step target (framework extension; None -> PMC_DTAU env ->
+        # engine default); see docs/DESIGN.md "Trotter error control".
+        self.dtau = dtau
         self.graphs = []  # per-replica dicts
         self._edge_index = {}  # (a, b) -> union edge id
         for (a, b), j in self.edges:
@@ -397,7 +407,7 @@ class LatticeTempering:
         betas = np.array([g["beta"] for g in self.graphs])
         gammas = np.array([g["transverse"] for g in self.graphs])
         hs = np.array([g["longitudinal"] for g in self.graphs])
-        L = max(wl.choose_ltau(b, g) for b, g in zip(betas, gammas))
+        L = max(wl.choose_ltau(b, g, self.dtau) for b, g in zip(betas, gammas))
         p = wl.make_params(betas, gammas, hs, L)
         keys = keys_from_seeds(np.array([g["seed"] for g in self.graphs], np.uint64))
         restored = getattr(self, "_restored", None)
@@ -541,7 +551,7 @@ class LatticeTempering:
         """Autocorrelation of the sampling_freq-sampled series, zero-padded
         into the [ngraphs, timesteps] output (reference forwards sampling_freq
         to the container, tempering.rs:246-250; shape quirk SURVEY.md 2.4.2)."""
-        from .engines.observables import autocorrelation, pad_autocorr
+        from .engines.observables import autocorrelation_device, pad_autocorr
 
         wait = int(sampling_wait_buffer or 0)
         swap_freq = int(replica_swap_freq) if replica_swap_freq else 1
@@ -549,11 +559,11 @@ class LatticeTempering:
         if wait:
             self._run_nostates(wait, swap_freq)
         _, states = self._run(int(timesteps), swap_freq, freq)
-        # states are int8 +-1 spins (NOT bool): compare to +1 explicitly —
-        # -1 is truthy, so np.where(states, ...) would map both signs to +1
-        x = np.where(np.asarray(states) == 1, 1.0, -1.0)  # [t/freq, R, nvars]
-        x = np.swapaxes(x, 0, 1)  # [R, t/freq, nvars]
-        return pad_autocorr(autocorrelation(series_fn(x)), int(timesteps))
+        # states are int8 +-1 spins, kept ON DEVICE: the channel products and
+        # the FFT reduction run there (VERDICT round-3 item 7 — the old path
+        # shipped the full [R, T, nvars] sample series to host numpy)
+        x = jnp.swapaxes(jnp.asarray(states, jnp.float32), 0, 1)  # [R, t/freq, nvars]
+        return pad_autocorr(autocorrelation_device(series_fn(x)), int(timesteps))
 
     def run_quantum_monte_carlo_and_measure_variable_autocorrelation(
         self,
@@ -597,6 +607,14 @@ class LatticeTempering:
         other._edge_index = dict(self._edge_index)
         if self._mat is not None:
             other._mat = dict(self._mat)
+            # The ladder config is a nested mutable dict that shard_ladder
+            # mutates in place (parallel/tempering.py: ["mesh"]/["axis"]/
+            # ["planes"]); a shallow copy would let sharding the clone
+            # silently reconfigure the original. Array leaves ("p"/"s"/the
+            # plane arrays) are immutable and rebinds decouple, so one more
+            # dict level is all the depth needed.
+            if other._mat.get("ladder") is not None:
+                other._mat["ladder"] = dict(other._mat["ladder"])
         return other
 
     def save_to_file(self, path: str) -> None:
