@@ -982,17 +982,37 @@ class GenericWorldline:
             states0[:, :, None], (states0.shape[0], termset.nvars, self.Lt)
         )
         # comp holds static numpy index structures: close it over the jitted
-        # drivers (one compile per term set, shared across calls)
+        # drivers (one compile per term set, shared across calls).
+        # The group-major matmul engine (engines/generic_gm.py) is the TPU
+        # fast path: when its table footprint fits (gm_eligible), the SAME
+        # update families run as a handful of MXU matmuls per sweep instead
+        # of per-(class, group) select chains. State stays [R, n, Lt] at the
+        # API boundary (regrid/checkpoint/itime all unchanged); conversion
+        # to the bit plane happens once per driver call.
+        from . import generic_gm as gg
+
+        self.use_gm = gg.gm_eligible(self.comp, termset.nvars)
+        if self.use_gm:
+            gs = gg.compile_gm(self.comp, termset.nvars)
+            kinks = gg.compile_gm_kinks(self.comp, gs) if self.comp.tkink else ()
+            self._drv_sweeps = partial(gg.run_sweeps_gm, gs, kinks, self.comp)
+            self._drv_sample = partial(gg.run_sweeps_sample_gm, gs, kinks, self.comp)
+            self._drv_bond = partial(gg.run_sweeps_bond_sample_gm, gs, kinks, self.comp)
+        else:
+            self._drv_sweeps = partial(run_sweeps, self.comp)
+            self._drv_sample = partial(run_sweeps_sample, self.comp)
+            self._drv_bond = partial(run_sweeps_bond_sample, self.comp)
+        # the raw driver partials stay accessible so parallel/replica.py can
+        # re-wrap them in shard_map (replica-axis multi-chip)
         self._jit_sweeps = jax.jit(
-            partial(run_sweeps, self.comp),
-            static_argnames=("timesteps", "ltau", "do_loop"),
+            self._drv_sweeps, static_argnames=("timesteps", "ltau", "do_loop")
         )
         self._jit_sample = jax.jit(
-            partial(run_sweeps_sample, self.comp),
+            self._drv_sample,
             static_argnames=("timesteps", "sampling_freq", "ltau", "do_loop"),
         )
         self._jit_bond = jax.jit(
-            partial(run_sweeps_bond_sample, self.comp),
+            self._drv_bond,
             static_argnames=("timesteps", "sampling_freq", "ltau", "do_loop"),
         )
 

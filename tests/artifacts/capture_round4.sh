@@ -17,9 +17,17 @@ stamp "on-chip pytest artifact (run_tpu_suite.sh)"
 sh tests/artifacts/run_tpu_suite.sh >> "$LOG" 2>&1
 stamp "suite rc=$?"
 
-stamp "hard-terms QmcRunner (post group-blocking)"
+stamp "hard-terms QmcRunner (group-major matmul engine, auto-gated)"
 timeout 3600 python benches/bench_qmcrunner_hard.py >> "$LOG" 2>&1
 stamp "hard rc=$?"
+
+stamp "hard-terms QmcRunner at n=128 R=256 (gm engine)"
+timeout 3600 env PMC_BENCH_N=128 PMC_BENCH_R=256 python benches/bench_qmcrunner_hard.py >> "$LOG" 2>&1
+stamp "hard-128 rc=$?"
+
+stamp "hard-terms QmcRunner control (classic select-chain path, PMC_GENERIC_GM=0)"
+timeout 3600 env PMC_GENERIC_GM=0 python benches/bench_qmcrunner_hard.py >> "$LOG" 2>&1
+stamp "hard-classic rc=$?"
 
 stamp "classical move families (post int8/edge-matmul; incl n=16384 ELL + default step)"
 timeout 3600 python benches/bench_classical_graph.py >> "$LOG" 2>&1

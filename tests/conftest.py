@@ -33,3 +33,18 @@ if not _TPU_MODE:
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_pmc")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+# Long single-process suite runs accumulate thousands of loaded XLA CPU
+# executables; late compilations have been observed to segfault inside
+# backend_compile_and_load once enough state piles up (1-CPU CI box,
+# ~230 tests in). Dropping jit caches between modules keeps the executable
+# population bounded; the persistent disk cache above makes the resulting
+# recompiles cheap deserializes.
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    yield
+    jax.clear_caches()

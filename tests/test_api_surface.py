@@ -162,7 +162,20 @@ def test_method_surface(cls, spec):
         assert hasattr(cls, name), f"{cls.__name__}.{name} missing"
         fn = getattr(cls, name)
         sig = inspect.signature(fn)
-        params = [p for p in sig.parameters.values() if p.name not in ("self",)]
+        # Keyword-only params are TPU-framework extensions beyond the
+        # reference surface (e.g. ``dtau``) — positional call compatibility
+        # with the reference is unaffected, so they must be defaulted and
+        # are excluded from the parity list.
+        for p in sig.parameters.values():
+            if p.kind is inspect.Parameter.KEYWORD_ONLY:
+                assert p.default is not inspect.Parameter.empty, (
+                    f"{cls.__name__}.{name}: extension kwarg {p.name} must default"
+                )
+        params = [
+            p
+            for p in sig.parameters.values()
+            if p.name != "self" and p.kind is not inspect.Parameter.KEYWORD_ONLY
+        ]
         names = [p.name for p in params]
         want = required + optional
         assert names == want, f"{cls.__name__}.{name}: {names} != {want}"

@@ -318,3 +318,59 @@ def test_tau_sharded_torus_matches_single_chip():
         es.std(ddof=1) / np.sqrt(R), e_ref.std(ddof=1) / np.sqrt(R)
     )
     assert z < 5.0, (es.mean(), e_ref.mean(), z)
+
+
+def test_replica_sharded_qmcrunner_bit_identical():
+    """shard_map replica sharding of QmcRunner (parallel/replica.py) must be
+    BIT-identical to the unsharded run: replicas never communicate and each
+    draws from its own key stream (rng.py seed contract)."""
+    from pyisingmontecarlo_tpu import QmcRunner
+    from pyisingmontecarlo_tpu.parallel import replica as pr
+
+    def build():
+        n, R = 4, 8
+        q = QmcRunner(n, R, seed=13)
+        zz = np.zeros(4)
+        for idx in range(4):
+            z0 = 1.0 if idx & 1 else -1.0
+            z1 = 1.0 if idx & 2 else -1.0
+            zz[idx] = -z0 * z1
+        for i in range(n):
+            q.add_diagonal_interaction(zz, [i, (i + 1) % n])
+            q.add_interaction(np.array([0.0, -0.7, -0.7, 0.0]), [i])
+        return q
+
+    q0 = build()
+    es0, ss0 = q0.run_sampling(1.0, 6, sampling_freq=2)
+
+    q1 = build()
+    m = pmesh.make_mesh((4,), ("replica",))
+    pr.shard_runner(q1, m, beta=1.0)
+    es1, ss1 = q1.run_sampling(1.0, 6, sampling_freq=2)
+
+    np.testing.assert_array_equal(np.asarray(es0), np.asarray(es1))
+    np.testing.assert_array_equal(np.asarray(ss0), np.asarray(ss1))
+
+    # bond sampling rides the same wrapper
+    c0 = q0.run_bond_sampling(1.0, 4, sampling_freq=2)
+    c1 = q1.run_bond_sampling(1.0, 4, sampling_freq=2)
+    np.testing.assert_array_equal(c0, c1)
+
+
+def test_replica_sharded_qmcrunner_divisibility():
+    from pyisingmontecarlo_tpu import QmcRunner
+    from pyisingmontecarlo_tpu.parallel import replica as pr
+
+    q = QmcRunner(4, 6, seed=1)
+    q.add_interaction(np.array([0.0, -0.5, -0.5, 0.0]), [0])
+    m = pmesh.make_mesh((4,), ("replica",))
+    with pytest.raises(ValueError):
+        pr.shard_runner(q, m, beta=1.0)
+
+
+def test_replica_dryrun_runner():
+    m = pmesh.make_mesh((4,), ("replica",))
+    from pyisingmontecarlo_tpu.parallel import replica as pr
+
+    es = pr.dryrun_runner(m, replicas_per_device=2, nvars=6, timesteps=2)
+    assert es.shape == (8,) and np.isfinite(es).all()
