@@ -19,7 +19,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["shard_runner", "dryrun_runner"]
+__all__ = ["shard_runner", "shard_qmcising", "dryrun_runner"]
 
 
 # All array outputs of the drivers carry the replica axis first (state, keys,
@@ -95,6 +95,37 @@ def shard_runner(q, mesh: Mesh, beta: float = 1.0, axis: str = "replica") -> Non
     w._jit_sweeps = _wrap_sweeps(w._drv_sweeps, mesh, axis)
     w._jit_sample = _wrap_sample(w._drv_sample, mesh, axis)
     w._jit_bond = _wrap_bond(w._drv_bond, mesh, axis)
+
+
+def shard_qmcising(q, mesh: Mesh, beta=None, axis: str = "replica") -> None:
+    """Shard a QmcIsing's replica batch over `mesh` along `axis`.
+
+    The worldline engine's drivers keep the replica axis leading everywhere
+    (states [R, n, L], keys [R], per-replica WlParams), so GSPMD propagates
+    the input shardings through the jitted sweeps with zero collectives — no
+    shard_map wrapper needed. The fused Pallas fast path is disabled when
+    sharding (GSPMD cannot partition a pallas_call; sharded ensembles run
+    the XLA colored path, same trade the sharded tempering ladder makes on
+    multi-device meshes via its own shard_map route).
+
+    Sharding survives subsequent runs (jit outputs keep their shardings) but
+    not a β-change regrid, which rebuilds arrays from host — re-call this
+    after changing β."""
+    w = q._ensure(beta)
+    ndev = mesh.shape[axis]
+    R = w.s.shape[0]
+    if R % ndev != 0:
+        raise ValueError(
+            f"num_experiments ({R}) must be divisible by mesh axis '{axis}' ({ndev})"
+        )
+    w._pallas_dense = None
+
+    def put(x, spec):
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    w.s = put(w.s, P(axis, None, None))
+    w.keys = put(w.keys, P(axis))
+    w.p = jax.tree.map(lambda x: put(x, P(axis)), w.p)
 
 
 def dryrun_runner(mesh: Mesh, replicas_per_device: int = 2, nvars: int = 6,

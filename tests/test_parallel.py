@@ -374,3 +374,31 @@ def test_replica_dryrun_runner():
 
     es = pr.dryrun_runner(m, replicas_per_device=2, nvars=6, timesteps=2)
     assert es.shape == (8,) and np.isfinite(es).all()
+
+
+def test_replica_sharded_qmcising_matches_unsharded():
+    """GSPMD replica sharding of QmcIsing (parallel/replica.shard_qmcising):
+    per-replica trajectories must be bit-identical to the unsharded run (the
+    sharded program is the SAME jitted sweep; only placement changes). The
+    Pallas fast path is gated off by sharding — force the XLA path on the
+    baseline too so both runs execute the identical program."""
+    from pyisingmontecarlo_tpu import QmcIsing
+    from pyisingmontecarlo_tpu.parallel import replica as pr
+
+    edges = [((i, (i + 1) % 6), -1.0) for i in range(6)]
+
+    def build():
+        return QmcIsing(edges, 1.0, num_experiments=8, seed=31)
+
+    q0 = build()
+    q0._ensure(1.2)
+    q0._w._pallas_dense = None
+    es0, ss0 = q0.run_sampling(1.2, 8, sampling_freq=2)
+
+    q1 = build()
+    m = pmesh.make_mesh((4,), ("replica",))
+    pr.shard_qmcising(q1, m, beta=1.2)
+    es1, ss1 = q1.run_sampling(1.2, 8, sampling_freq=2)
+
+    np.testing.assert_array_equal(np.asarray(es0), np.asarray(es1))
+    np.testing.assert_array_equal(np.asarray(ss0), np.asarray(ss1))
