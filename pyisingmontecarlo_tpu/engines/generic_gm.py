@@ -725,15 +725,19 @@ def run_sweeps_bond_sample_gm(gs, kinks, comp, s, keys, timesteps,
 # PMC_GENERIC_GM: "auto" (default) gates on table footprint, "1" forces the
 # gm path, "0" forces the classic select-chain path. The dominant tables are
 # the [G*n, TT] attribution/bit-weight matrices (W, Pm, Pw) plus the
-# [TT, lt*R] planes each matmul materializes; PMC_GM_MAX caps G*n*TT.
-_GM_MODE = os.environ.get("PMC_GENERIC_GM", "auto")
-_GM_MAX = int(os.environ.get("PMC_GM_MAX", str(8 * 1024 * 1024)))
+# [TT, lt*R] planes each matmul materializes; PMC_GM_MAX caps G*n*TT. The
+# matmul work scales as G*n*TT (quadratic in system size for local
+# Hamiltonians, where the classic path is linear) — the footprint cap is
+# also the arithmetic crossover guard. Env is read at construction time,
+# not import time, so notebook users can flip it between runners.
 
 
 def gm_eligible(comp: Compiled, n: int) -> bool:
     """Whether GenericWorldline should run its sweeps on the gm path."""
-    if _GM_MODE == "0":
+    mode = os.environ.get("PMC_GENERIC_GM", "auto")
+    if mode == "0":
         return False
-    if _GM_MODE == "1":
+    if mode == "1":
         return True
-    return comp.G * n * comp.nterms <= _GM_MAX
+    gm_max = int(os.environ.get("PMC_GM_MAX", str(8 * 1024 * 1024)))
+    return comp.G * n * comp.nterms <= gm_max

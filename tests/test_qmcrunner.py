@@ -312,3 +312,29 @@ def test_offdiag_3local_matches_dense():
     ex = dense_terms_energy(n, terms, beta)
     se = es.std(ddof=1) / np.sqrt(len(es))
     assert abs(es.mean() - ex) < 4 * se + 0.1, (es.mean(), ex, se)
+
+
+def test_classic_path_stays_green_when_gm_default(monkeypatch):
+    """The group-major engine is the default for small systems (gm_eligible),
+    so the classic select-chain path would otherwise lose end-to-end
+    coverage. Force it off (env is read at construction) and re-check the
+    hard XX mix against dense diagonalization."""
+    from helpers import dense_terms_energy
+
+    monkeypatch.setenv("PMC_GENERIC_GM", "0")
+    n, beta, gamma, jx = 3, 1.0, 0.7, 0.5
+    q = QmcRunner(n, 96, seed=16)
+    terms = []
+    for i in range(n):
+        a, b = i, (i + 1) % n
+        q.add_diagonal_interaction(zz_diag(-1.0), [a, b])
+        terms.append((np.diag(zz_diag(-1.0)), (a, b)))
+        q.add_interaction(x_term(gamma), [i])
+        terms.append((x_term(gamma).reshape(2, 2), (i,)))
+        q.add_interaction(xx_mat(jx), [a, b])
+        terms.append((xx_mat(jx).reshape(4, 4), (a, b)))
+    assert q._ensure(beta).use_gm is False
+    es, _ = q.run_sampling(beta, 400, sampling_wait_buffer=400)
+    ex = dense_terms_energy(n, terms, beta)
+    se = es.std(ddof=1) / np.sqrt(len(es))
+    assert abs(es.mean() - ex) < 4 * se + 0.1, (es.mean(), ex, se)
