@@ -5,6 +5,8 @@
 # pytest artifact goes through run_tpu_suite.sh (only a PASSING run is kept).
 #   sh tests/artifacts/capture_round4.sh
 cd "$(dirname "$0")/../.." || exit 1
+# benches import the package from the repo root (no editable install in this image)
+PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"; export PYTHONPATH
 LOG=tests/artifacts/capture_round4.log
 : > "$LOG"
 stamp() { date -u +"[%Y-%m-%dT%H:%M:%SZ] $1" >> "$LOG"; }
