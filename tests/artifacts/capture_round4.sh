@@ -8,7 +8,9 @@ cd "$(dirname "$0")/../.." || exit 1
 # benches import the package from the repo root (no editable install in this image)
 PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"; export PYTHONPATH
 LOG=tests/artifacts/capture_round4.log
-: > "$LOG"
+# Append with a per-run header (never truncate): the committed log is a
+# round-4 evidence artifact and must survive re-runs (ADVICE round-4 item 2).
+date -u +"===== capture run started %Y-%m-%dT%H:%M:%SZ =====" >> "$LOG"
 stamp() { date -u +"[%Y-%m-%dT%H:%M:%SZ] $1" >> "$LOG"; }
 
 stamp "bench.py (headline 1024^2 Metropolis)"
