@@ -54,6 +54,10 @@ def run_benchmark():
     beta = 0.4
     replicas = 8
     sweeps = 16384  # realistic production sweep count; amortizes dispatch
+    if os.environ.get("PMC_BENCH_SMOKE"):
+        # tiny-shape smoke mode: proves every capture stage runs end-to-end
+        # on CPU before a chip window is spent (VERDICT round-4 item 8)
+        L, replicas, sweeps = 64, 2, 32
     edges = grid_2d_edges(L, L, j=-1.0)
     lat = pmc.Lattice(edges, seed_gen=0)
 

@@ -11,6 +11,7 @@ Prints one JSON line per family.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -55,8 +56,17 @@ def main():
     # spin-family number at n=16384 prices that cliff for users
     # (VERDICT round-3 weak 8).
     sizes = [(4096, None), (16384, ("spin",))]
+    R = 64
+    if os.environ.get("PMC_BENCH_SMOKE"):
+        sizes = [(64, None), (128, ("spin",))]
+        R = 4
+    if os.environ.get("PMC_BENCH_FAMS"):
+        # restrict to a family subset at the first size (e.g. the
+        # PMC_EDGE_B0 A/B capture stages run FAMS=edge twice in one session)
+        fams = tuple(os.environ["PMC_BENCH_FAMS"].split(","))
+        sizes = [(sizes[0][0], fams)]
     for n, only_fams in sizes:
-        R, beta = 64, 1.5
+        beta = 1.5
         cg = compile_graph(random_regular_pm_j(n, 2, seed=7))
         ga = ce.device_graph_sorted(cg)
         bias = jnp.zeros((n,), jnp.float32)
@@ -74,6 +84,8 @@ def _bench_families(ce, jnp, ga, bias, s, keys, n, R, beta, only_fams=None):
         "default": dict(nspin_sweeps=1, nedge_sweeps=1, nworms=1, nclusters=0),
     }
     steps = {"spin": 512, "edge": 512, "worm": 512, "sw": 64, "default": 256}
+    if os.environ.get("PMC_BENCH_SMOKE"):
+        steps = {k: 2 for k in steps}
     for name, kw in fams.items():
         if only_fams is not None and name not in only_fams:
             continue

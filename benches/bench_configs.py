@@ -13,6 +13,7 @@ Prints one JSON line per config.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -31,6 +32,8 @@ def bench_annealing_triangular():
     from pyisingmontecarlo_tpu.models.lattices import triangular_edges
 
     L, nexp, timesteps = 48, 100, 4000
+    if os.environ.get("PMC_BENCH_SMOKE"):
+        L, nexp, timesteps = 6, 4, 20
     edges = triangular_edges(L, j=1.0)  # AFM on triangular: frustrated
     lat = pmc.Lattice(edges, seed_gen=11)
     betas = [(0, 0.1), (timesteps, 3.0)]
@@ -59,15 +62,17 @@ def bench_autocorr_tfim2d():
     import pyisingmontecarlo_tpu as pmc
     from pyisingmontecarlo_tpu.models.lattices import square_edges
 
-    L, nexp, timesteps = 16, 64, 1000
+    L, nexp, timesteps, wait = 16, 64, 1000, 200
+    if os.environ.get("PMC_BENCH_SMOKE"):
+        L, nexp, timesteps, wait = 4, 4, 20, 5
     lat = pmc.Lattice(square_edges(L, j=-1.0), seed_gen=13)
     lat.set_transverse_field(1.0)
     out = {}
     for name in ("variable", "bond"):
         fn = getattr(lat, f"run_quantum_monte_carlo_and_measure_{name}_autocorrelation")
-        fn(2.0, timesteps, nexp, sampling_wait_buffer=200)
+        fn(2.0, timesteps, nexp, sampling_wait_buffer=wait)
         t0 = time.perf_counter()
-        corrs = fn(2.0, timesteps, nexp, sampling_wait_buffer=200)
+        corrs = fn(2.0, timesteps, nexp, sampling_wait_buffer=wait)
         dt = time.perf_counter() - t0
         assert corrs.shape[0] == nexp
         out[name] = dt

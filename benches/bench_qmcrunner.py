@@ -7,6 +7,7 @@ terms), 64 replicas, through the public QmcRunner API — the reference's
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -24,7 +25,10 @@ def _enable_cache():
 
 def main():
     _enable_cache()
+    smoke = bool(os.environ.get("PMC_BENCH_SMOKE"))
     n, replicas, beta, gamma = 64, 64, 1.0, 1.0
+    if smoke:
+        n, replicas = 8, 4
     q = QmcRunner(n, replicas, seed=0)
     zz = np.zeros(4)
     for idx in range(4):
@@ -37,7 +41,7 @@ def main():
 
     # slope timing between two sweep counts (floor-immune; see
     # bench_classical_graph.py)
-    t_lo, t_hi = 400, 1600
+    t_lo, t_hi = (4, 8) if smoke else (400, 1600)
     q.run_sampling(beta, t_lo)  # compile + warm (+ builds the grid)
     q.run_sampling(beta, t_hi)
     w = q._w

@@ -64,15 +64,16 @@ def main():
     import os
 
     _enable_cache()
-    n = int(os.environ.get("PMC_BENCH_N", "32"))
-    replicas = int(os.environ.get("PMC_BENCH_R", "64"))
+    smoke = bool(os.environ.get("PMC_BENCH_SMOKE"))
+    n = int(os.environ.get("PMC_BENCH_N", "8" if smoke else "32"))
+    replicas = int(os.environ.get("PMC_BENCH_R", "4" if smoke else "64"))
     beta = 1.0
     q = build(n, replicas, gamma=1.0, jx=0.5, k3=0.25)
 
     # slope timing between two sweep counts: the axon tunnel adds a
     # ~30-90 ms fixed floor per dispatch which a single-run/T division
     # would misattribute to the sweeps
-    t_lo, t_hi = 200, 800
+    t_lo, t_hi = (4, 8) if smoke else (200, 800)
     q.run_sampling(beta, t_lo)  # compile + warm (+ builds the grid)
     q.run_sampling(beta, t_hi)
     w = q._w

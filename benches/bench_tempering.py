@@ -9,6 +9,7 @@ comparison on device.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -27,20 +28,21 @@ def _enable_cache():
 
 def main():
     _enable_cache()
-    L = 12  # 144-spin +-J spin glass
+    smoke = bool(os.environ.get("PMC_BENCH_SMOKE"))
+    L = 4 if smoke else 12  # 144-spin +-J spin glass
     rng = np.random.default_rng(0)
     edges = [
         ((a, b), float(rng.choice([-1.0, 1.0])))
         for (a, b), _ in grid_2d_edges(L, L)
     ]
     lt = LatticeTempering(edges, seed=0)
-    nrep = 64
+    nrep = 6 if smoke else 64
     for b in np.geomspace(0.2, 3.0, nrep):
         lt.add_graph(1.0, 0.0, float(b))
 
     # slope timing between two sweep counts (floor-immune; see
     # bench_classical_graph.py)
-    t_lo, t_hi = 500, 2000
+    t_lo, t_hi = (4, 8) if smoke else (500, 2000)
     lt.qmc_timesteps_sample(t_lo, replica_swap_freq=1)  # compile + warm
     lt.qmc_timesteps_sample(t_hi, replica_swap_freq=1)
     ts = {t_lo: [], t_hi: []}

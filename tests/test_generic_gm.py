@@ -279,3 +279,50 @@ def test_sweep_gm_reproduces_exact_energy():
     em = es.mean()
     se = es.mean(axis=0).std(ddof=1) / np.sqrt(R)
     assert abs(em - e_exact) < 5 * se + 0.05, (em, e_exact, se)
+
+
+def test_subset_site_deltas_match_full(setup):
+    """The per-color column-subset site deltas (round-5 throughput path,
+    _site_deltas_sub) must equal the full-TT path at every masked position:
+    subsetting drops only terms whose dlw is identically zero for that
+    color's flips (conflict coloring)."""
+    n, R, lt, comp, gs, s = setup
+    G = comp.G
+    gm = gg.to_gm(jnp.asarray(s), G)
+    for c in range(len(comp.color_sites)):
+        for parity in (0, 1):
+            pp = gg._parity_plane(G, n, lt, R, parity)
+            crow = gg._tile_rows(jnp.asarray(gs.host.color_rows[c])[:, None], G)
+            m = pp * crow
+            D_full, gmn_full, _ = gg.site_deltas(gs, gm, m, R)
+            D_sub, gmn_sub = gg._site_deltas_sub(gs, gs.csub[c], gm, m, R)
+            np.testing.assert_array_equal(np.asarray(gmn_sub), np.asarray(gmn_full))
+            mm = np.asarray(m) > 0
+            np.testing.assert_allclose(
+                np.where(mm, np.clip(np.asarray(D_sub), -80, 80), 0.0),
+                np.where(mm, np.clip(np.asarray(D_full), -80, 80), 0.0),
+                atol=3e-4, rtol=1e-4,
+            )
+
+
+def test_subset_total_deltas_match_full(setup):
+    n, R, lt, comp, gs, s = setup
+    G = comp.G
+    Lt = float(lt * G)
+    gm = gg.to_gm(jnp.asarray(s), G)
+    rng = np.random.default_rng(9)
+    for c in range(len(comp.color_sites)):
+        crow = jnp.asarray(gs.host.color_rows[c])[:, None]
+        l1 = jnp.asarray(rng.integers(0, int(Lt), size=(n, R)).astype(np.float32))
+        ln = jnp.asarray(rng.integers(1, int(Lt), size=(n, R)).astype(np.float32))
+        vsel = jnp.broadcast_to(crow, (n, lt * R))
+        m = gg._interval_mask(gs, l1, ln, lt, R) * gg._tile_rows(vsel, G)
+        D_full, gmn_full, _ = gg.total_deltas(gs, gm, m, R)
+        D_sub, gmn_sub = gg._total_deltas_sub(gs, gs.csub[c], gm, m, R)
+        np.testing.assert_array_equal(np.asarray(gmn_sub), np.asarray(gmn_full))
+        sel = np.asarray(gs.host.color_rows[c]) > 0
+        np.testing.assert_allclose(
+            np.clip(np.asarray(D_sub)[sel], -80, 80),
+            np.clip(np.asarray(D_full)[sel], -80, 80),
+            atol=3e-4, rtol=1e-4,
+        )

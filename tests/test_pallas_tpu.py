@@ -307,3 +307,62 @@ def test_sharded_ladder_real_gate_on_chip():
     assert np.isfinite(energies).all()
     assert (energies < 0).all()  # FM ring at beta ~ 1: well below E = 0
     assert lt.get_total_swaps() > 10  # tight ladder: swaps frequent
+
+
+def test_gm_engine_dense_diag_on_chip(monkeypatch):
+    """gm-engine exactness ON HARDWARE (VERDICT round-4 item 5): the engine's
+    correctness argument is precision-sensitive (exact small-integer matmuls
+    on the MXU + HIGHEST-precision attribution sums, engines/generic_gm.py)
+    and was previously pinned only on CPU. Force the gm path through the
+    public QmcRunner API on the hard term mix (ZZ + X + XX + ZZZ on a 4-ring)
+    and check <E> against dense diagonalization."""
+    from pyisingmontecarlo_tpu import QmcRunner
+
+    monkeypatch.setenv("PMC_GENERIC_GM", "1")
+    n, R, beta, gamma, jx, k3 = 4, 64, 1.0, 0.9, 0.4, 0.3
+
+    def zz(j):
+        out = np.zeros(4)
+        for idx in range(4):
+            out[idx] = j * (1.0 if idx & 1 else -1.0) * (1.0 if idx & 2 else -1.0)
+        return out
+
+    def xxm(jxv):
+        m = np.zeros((4, 4))
+        for a in range(4):
+            m[a, a ^ 3] = -jxv
+        return m.reshape(-1)
+
+    def zzz(k):
+        out = np.zeros(8)
+        for idx in range(8):
+            z = [1.0 if idx & (1 << b) else -1.0 for b in range(3)]
+            out[idx] = k * z[0] * z[1] * z[2]
+        return out
+
+    q = QmcRunner(n, R, seed=33)
+    for i in range(n):
+        q.add_diagonal_interaction(zz(-1.0), [i, (i + 1) % n])
+        q.add_interaction(np.array([0.0, -gamma, -gamma, 0.0]), [i])
+        q.add_interaction(xxm(jx), [i, (i + 1) % n])
+        q.add_diagonal_interaction(zzz(k3), [i, (i + 1) % n, (i + 2) % n])
+    assert q._ensure(beta).use_gm, "PMC_GENERIC_GM=1 must force the gm path"
+    es, _ = q.run_sampling(beta, 600, sampling_wait_buffer=400)
+
+    # dense H: sum over sites of ZZ + transverse X + XX + ZZZ ring terms
+    dim = 2**n
+    H = np.zeros((dim, dim))
+    sz = lambda i, st: 1.0 - 2.0 * ((st >> i) & 1)
+    for st in range(dim):
+        for i in range(n):
+            a, b, c = i, (i + 1) % n, (i + 2) % n
+            H[st, st] += -1.0 * sz(a, st) * sz(b, st)
+            H[st, st] += k3 * sz(a, st) * sz(b, st) * sz(c, st)
+            H[st ^ (1 << i), st] += -gamma
+            H[st ^ (1 << a) ^ (1 << b), st] += -jx
+    w = np.linalg.eigvalsh(H)
+    zw = np.exp(-beta * (w - w.min()))
+    ex = float((w * zw).sum() / zw.sum())
+    se = es.std(ddof=1) / np.sqrt(len(es))
+    # 0.1 covers the default-dtau Trotter bias at beta=1 on this H
+    assert abs(es.mean() - ex) < 5 * se + 0.1, (es.mean(), ex, se)
