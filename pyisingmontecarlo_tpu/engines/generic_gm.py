@@ -275,30 +275,30 @@ def out_plane(gm, G: int, n: int, R: int):
 
 
 def _tile_rows(x, G: int):
-    """[n, L] -> [G*n, L] (repeat the variable rows for every group block)."""
-    return jnp.concatenate([x] * G, axis=0)
+    """[n, L] -> [G*n, L] (repeat the variable rows for every group block).
+
+    jnp.tile lowers to broadcast + collapsing reshape — ONE fused HLO op vs
+    the G-way concat it replaces (each concat materialized a full plane;
+    these tiles sit on every update family's mask path)."""
+    return jnp.tile(x, (G, 1))
 
 
 def _tile_lanes(x, lt: int):
     """[rows, R] -> [rows, lt*R] (repeat the replica lanes for every slab)."""
-    return jnp.concatenate([x] * lt, axis=1)
+    return jnp.tile(x, (1, lt))
 
 
 def _sum_slabs(x, R: int):
-    """[rows, lt*R] -> [rows, R]: sum over the Trotter-slab lane blocks."""
+    """[rows, lt*R] -> [rows, R]: sum over the Trotter-slab lane blocks
+    (split minor dim + reduce the middle axis: one fused reduction vs lt
+    slice-adds)."""
     lt = x.shape[1] // R
-    out = x[:, :R]
-    for c in range(1, lt):
-        out = out + x[:, c * R : (c + 1) * R]
-    return out
+    return x.reshape(x.shape[0], lt, R).sum(axis=1)
 
 
 def _sum_group_blocks(x, G: int, n: int):
     """[G*n, L] -> [n, L]: sum over the group row blocks."""
-    out = x[:n]
-    for g in range(1, G):
-        out = out + x[g * n : (g + 1) * n]
-    return out
+    return x.reshape(G, n, x.shape[1]).sum(axis=0)
 
 
 # ------------------------------------------------------------- weights
@@ -323,12 +323,13 @@ def lw_plane(gs: GmStructs, gm, R: int):
 
 
 def _lw01_sub(gs: GmStructs, sub: GmColorSub, gm, gmn, R: int):
-    """(lw0, lw1) [Tc, lt*R] over a static column subset, via ONE weight
+    """(lw0, lw1, o0, o1) over a static column subset, via ONE weight
     matmul on the lane-batched 4-block plane [gm | gmn | out(gm) | out(gmn)]
     and one pair chain over the lane-batched (in, out) halves. Exact: bit
     weights and bits are tiny integers (sums < 2^k), representable exactly at
     any MXU precision; subsetting drops only terms whose dlw is identically 0
-    for the calling update family."""
+    for the calling update family. The out-planes are returned so callers'
+    _delta_plane does not rebuild them."""
     h = gs.host
     L = gm.shape[1]
     o0 = out_plane(gm, h.G, h.n, R)
@@ -336,7 +337,7 @@ def _lw01_sub(gs: GmStructs, sub: GmColorSub, gm, gmn, R: int):
     X = jnp.concatenate([gm, gmn, o0, o1], axis=1)
     idx = jnp.dot(sub.W.T, X)  # [Tc, 4L]
     lw = _pair_chain(gs, idx[:, : 2 * L], idx[:, 2 * L :], sub.tabs, _NEG)
-    return lw[:, :L], lw[:, L:]
+    return lw[:, :L], lw[:, L:], o0, o1
 
 
 def _site_deltas_sub(gs: GmStructs, sub: GmColorSub, gm, m, R: int):
@@ -344,8 +345,10 @@ def _site_deltas_sub(gs: GmStructs, sub: GmColorSub, gm, m, R: int):
     [Pm_c | Pw_c] attribution matmul (HIGH precision). Returns (D, gmn)."""
     h = gs.host
     gmn = flip_bits(gm, m)
+    outs = None
     if sub.Tc:
-        lw0, lw1 = _lw01_sub(gs, sub, gm, gmn, R)
+        lw0, lw1, o0, o1 = _lw01_sub(gs, sub, gm, gmn, R)
+        outs = (o0, o1)
         dlw = lw1 - lw0
         D = jnp.dot(
             sub.PmPw,
@@ -354,7 +357,7 @@ def _site_deltas_sub(gs: GmStructs, sub: GmColorSub, gm, m, R: int):
         )
     else:
         D = jnp.zeros(gm.shape, _F)
-    dd = _delta_plane(gs, gm, gmn, R)
+    dd = _delta_plane(gs, gm, gmn, R, outs)
     D = D + dd + _prev_rows(dd, h.G, h.n, R)
     return D, gmn
 
@@ -363,23 +366,30 @@ def _total_deltas_sub(gs: GmStructs, sub: GmColorSub, gm, m, R: int):
     """total_deltas over a per-color column subset. Returns (D [n, R], gmn)."""
     h = gs.host
     gmn = flip_bits(gm, m)
+    outs = None
     if sub.Tc:
-        lw0, lw1 = _lw01_sub(gs, sub, gm, gmn, R)
+        lw0, lw1, o0, o1 = _lw01_sub(gs, sub, gm, gmn, R)
+        outs = (o0, o1)
         dterm = jnp.dot(sub.A, lw1 - lw0, precision=_HIGH)  # [n, lt*R]
     else:
         dterm = jnp.zeros((h.n, gm.shape[1]), _F)
-    dd = _delta_plane(gs, gm, gmn, R)
+    dd = _delta_plane(gs, gm, gmn, R, outs)
     dv = _sum_group_blocks(dd, h.G, h.n)
     return _sum_slabs(dterm + dv, R), gmn
 
 
-def _delta_plane(gs: GmStructs, gm, gmn, R: int):
+def _delta_plane(gs: GmStructs, gm, gmn, R: int, outs=None):
     """Per-(variable-row, transfer) delta-constraint change [G*n, lt*R]:
     _NEG * (viol_new - viol_old), nonzero only where the row's group leaves
-    the variable untouched."""
+    the variable untouched. ``outs`` = precomputed (out_plane(gm),
+    out_plane(gmn)) when the caller already built them for the weight
+    matmul."""
     h = gs.host
-    eq0 = gm == out_plane(gm, h.G, h.n, R)
-    eq1 = gmn == out_plane(gmn, h.G, h.n, R)
+    o0, o1 = outs if outs is not None else (
+        out_plane(gm, h.G, h.n, R), out_plane(gmn, h.G, h.n, R)
+    )
+    eq0 = gm == o0
+    eq1 = gmn == o1
     dd = (eq0.astype(_F) - eq1.astype(_F)) * _NEG  # viol_new - viol_old
     return dd * jnp.asarray(h.urow)
 
@@ -696,7 +706,7 @@ def term_kink_update_gm(gs: GmStructs, kinks, gm, subkeys, R: int):
             )
         gmn = flip_bits(gm, m_total)
         if ph.sub is not None:
-            lw0, lw1 = _lw01_sub(gs, ph.sub, gm, gmn, R)
+            lw0, lw1, _, _ = _lw01_sub(gs, ph.sub, gm, gmn, R)
             dP = jnp.dot(ph.Satt_sub, lw1 - lw0, precision=_HIGH)
         else:
             lw1 = lw_plane(gs, gmn, R)

@@ -113,6 +113,11 @@ def supported_sample(dense, nvars: int, ltau: int, R: int, nsamples: int,
     if _acc_rows(nvars, ltau) and total > max(1, (1 << 23) // max(2 * ltau, 1)):
         return False
     rc = _chunk_replicas(R, nvars, ltau)
+    if (rc * nvars) % 128:
+        # the per-sample stage->HBM DMA slices the lane dim, which Mosaic
+        # requires 128-aligned; tiny (replicas x nvars) planes fall back to
+        # the XLA path (hit by e.g. a 4x4 torus with 4 experiments)
+        return False
     return nsamples * rc * nvars <= _MAX_SAMPLE_BYTES
 
 

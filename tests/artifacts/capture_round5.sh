@@ -15,6 +15,10 @@ PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"; export PYTHONPATH
 MODE="${1:-tpu}"
 if [ "$MODE" = "smoke" ]; then
     JAX_PLATFORMS=cpu; export JAX_PLATFORMS
+    # this jax build's axon plugin ignores JAX_PLATFORMS; PLATFORM_NAME is
+    # what actually keeps backend selection on CPU (same note in
+    # tests/conftest.py)
+    JAX_PLATFORM_NAME=cpu; export JAX_PLATFORM_NAME
     PMC_BENCH_SMOKE=1; export PMC_BENCH_SMOKE
     PMC_BENCH_ALLOW_CPU=1; export PMC_BENCH_ALLOW_CPU
     LOG="${PMC_SMOKE_LOG:-/tmp/capture_round5_smoke.log}"
@@ -45,7 +49,13 @@ if [ "$MODE" != "smoke" ]; then
     stage "on-chip pytest artifact (run_tpu_suite.sh)" sh tests/artifacts/run_tpu_suite.sh
 fi
 stage "hard-terms QmcRunner (gm engine, auto-gated)" python benches/bench_qmcrunner_hard.py
-stage "hard-terms QmcRunner n=128 R=256 (gm engine)" env PMC_BENCH_N=128 PMC_BENCH_R=256 python benches/bench_qmcrunner_hard.py
+# the big-shape stage still exercises the env-override path in smoke mode,
+# but at a CPU-feasible shape (the full n=128/R=256 plane is a TPU workload)
+if [ "$MODE" = "smoke" ]; then
+    stage "hard-terms QmcRunner n=128 R=256 (gm engine)" env PMC_BENCH_N=16 PMC_BENCH_R=8 python benches/bench_qmcrunner_hard.py
+else
+    stage "hard-terms QmcRunner n=128 R=256 (gm engine)" env PMC_BENCH_N=128 PMC_BENCH_R=256 python benches/bench_qmcrunner_hard.py
+fi
 stage "hard-terms QmcRunner control (classic path)" env PMC_GENERIC_GM=0 python benches/bench_qmcrunner_hard.py
 stage "gm/classic crossover (matched shapes straddling PMC_GM_MAX)" python benches/bench_gm_crossover.py
 stage "classical move families" python benches/bench_classical_graph.py
