@@ -6,7 +6,7 @@
 # PASSING run overwrites the committed log.
 #   sh tests/artifacts/run_tpu_suite.sh
 cd "$(dirname "$0")/../.." || exit 1
-OUT=tests/artifacts/tpu_pallas_r4.log
+OUT=tests/artifacts/tpu_pallas_r5.log
 TMP=/tmp/tpu_pallas_run.log
 for backoff in 0 60 120 240 480 600; do
   [ "$backoff" -gt 0 ] && { echo "[artifact] retrying in ${backoff}s" >&2; sleep "$backoff"; }

@@ -48,3 +48,17 @@ import pytest  # noqa: E402
 def _clear_jax_caches_between_modules():
     yield
     jax.clear_caches()
+
+
+def pytest_collection_modifyitems(config, items):
+    """Default run excludes @pytest.mark.slow (long-statistics tests) so the
+    virtual-mesh suite stays under ~10 min; the FULL suite (round captures,
+    release checks) runs with PMC_TESTS_FULL=1 or an explicit -m filter."""
+    if os.environ.get("PMC_TESTS_FULL") == "1" or config.getoption("-m"):
+        return
+    skip = pytest.mark.skip(
+        reason="slow: run with PMC_TESTS_FULL=1 or -m slow"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
