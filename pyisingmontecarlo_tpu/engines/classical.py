@@ -676,16 +676,17 @@ def time_step(
             s = _spin_color_update(ga, bias, s, sub, beta, c, heatbath)
     if not only_basic:
         for _ in range(nedge_sweeps):
-            # one full-field matmul per sweep; classes correct it with ELL
-            # gathers of the flip delta (see _edge_color_update)
-            # PMC_EDGE_B0=0 disables the once-per-sweep field read (per-class
-            # full matmuls instead) — an A/B knob for pricing the round-4
-            # rework on hardware (read at trace time; bench/debug only)
+            # PMC_EDGE_B0=1 opts into the round-4 "one full-field matmul per
+            # sweep" rework (classes correct it with ELL gathers of the flip
+            # delta, see _edge_color_update). The round-5 same-session A/B on
+            # chip measured it a real ~9% regression over the per-class
+            # matmuls (717.3 vs 656.3 µs/step on the n=4096 ±J glass), so the
+            # per-class path is the default (read at trace time).
             s0 = B0 = None
             if (
                 ga.A_hi is not None
                 and len(ga.e_a) > 1
-                and os.environ.get("PMC_EDGE_B0", "1") != "0"
+                and os.environ.get("PMC_EDGE_B0", "0") == "1"
             ):
                 s0, B0 = s, _dense_field(ga, s)
             for c in range(len(ga.e_a)):

@@ -947,6 +947,31 @@ def run_sweeps_bond_sample(comp, s, keys, timesteps, sampling_freq, ltau, do_loo
     return s, keys, esum, jnp.swapaxes(samples, 0, 1)
 
 
+# Uniform-signature shims: the gm drivers take a leading ``tables`` pytree of
+# detached device arrays (generic_gm.detach_tables); the classic path has
+# none, so these accept and ignore an empty tuple — GenericWorldline and
+# parallel/replica.py then drive both paths identically.
+
+
+def _run_sweeps_t(comp, tables, s, keys, timesteps, ltau, do_loop, offset):
+    return run_sweeps(comp, s, keys, timesteps, ltau, do_loop, offset)
+
+
+def _run_sweeps_sample_t(comp, tables, s, keys, timesteps, sampling_freq,
+                         ltau, do_loop, offset):
+    return run_sweeps_sample(
+        comp, s, keys, timesteps, sampling_freq, ltau, do_loop, offset
+    )
+
+
+def _run_sweeps_bond_sample_t(comp, tables, s, keys, timesteps, sampling_freq,
+                              ltau, do_loop, offset, offsets_t, beta):
+    return run_sweeps_bond_sample(
+        comp, s, keys, timesteps, sampling_freq, ltau, do_loop, offset,
+        offsets_t, beta,
+    )
+
+
 class GenericWorldline:
     """Host-side handle on a batch of generic-Hamiltonian worldline samplers."""
 
@@ -992,16 +1017,30 @@ class GenericWorldline:
         from . import generic_gm as gg
 
         self.use_gm = gg.gm_eligible(self.comp, termset.nvars)
+        # Every driver takes a leading ``tables`` pytree of device arrays —
+        # the gm tables scale as G*n*TT (tens of MB per matrix at large n);
+        # closed over the jit they would embed as HLO literals and blow
+        # remote-compile transport limits (HTTP 413 on the axon tunnel at
+        # n=416). Detached, they ride as ordinary device-resident jit args
+        # (generic_gm.detach_tables). The classic path has no such tables:
+        # its drivers take (and ignore) an empty tuple so replica.py's
+        # shard_map wrappers see one uniform signature.
         if self.use_gm:
             gs = gg.compile_gm(self.comp, termset.nvars)
             kinks = gg.compile_gm_kinks(self.comp, gs) if self.comp.tkink else ()
-            self._drv_sweeps = partial(gg.run_sweeps_gm, gs, kinks, self.comp)
-            self._drv_sample = partial(gg.run_sweeps_sample_gm, gs, kinks, self.comp)
-            self._drv_bond = partial(gg.run_sweeps_bond_sample_gm, gs, kinks, self.comp)
+            gs_skel, kinks_skel, self._tables = gg.detach_tables(gs, kinks)
+            self._drv_sweeps = partial(gg.run_sweeps_gm, gs_skel, kinks_skel, self.comp)
+            self._drv_sample = partial(
+                gg.run_sweeps_sample_gm, gs_skel, kinks_skel, self.comp
+            )
+            self._drv_bond = partial(
+                gg.run_sweeps_bond_sample_gm, gs_skel, kinks_skel, self.comp
+            )
         else:
-            self._drv_sweeps = partial(run_sweeps, self.comp)
-            self._drv_sample = partial(run_sweeps_sample, self.comp)
-            self._drv_bond = partial(run_sweeps_bond_sample, self.comp)
+            self._tables = ()
+            self._drv_sweeps = partial(_run_sweeps_t, self.comp)
+            self._drv_sample = partial(_run_sweeps_sample_t, self.comp)
+            self._drv_bond = partial(_run_sweeps_bond_sample_t, self.comp)
         # the raw driver partials stay accessible so parallel/replica.py can
         # re-wrap them in shard_map (replica-axis multi-chip)
         self._jit_sweeps = jax.jit(
@@ -1022,15 +1061,16 @@ class GenericWorldline:
                 total_energy(self.comp, self.s, self.ltau, self.ts.offset), np.float64
             )
         self.s, self.keys, esum = self._jit_sweeps(
-            self.s, self.keys, timesteps=int(t), ltau=self.ltau,
+            self._tables, self.s, self.keys, timesteps=int(t), ltau=self.ltau,
             do_loop=self.do_loop, offset=jnp.float32(self.ts.offset),
         )
         return kfinal(esum) / t
 
     def timesteps_sample(self, t: int, freq: int):
         self.s, self.keys, esum, samples = self._jit_sample(
-            self.s, self.keys, timesteps=int(t), sampling_freq=int(freq),
-            ltau=self.ltau, do_loop=self.do_loop, offset=jnp.float32(self.ts.offset),
+            self._tables, self.s, self.keys, timesteps=int(t),
+            sampling_freq=int(freq), ltau=self.ltau, do_loop=self.do_loop,
+            offset=jnp.float32(self.ts.offset),
         )
         return kfinal(esum) / max(t, 1), np.asarray(samples == 1)
 
@@ -1047,15 +1087,16 @@ class GenericWorldline:
 
     def timesteps_sample_dev(self, t: int, freq: int):
         self.s, self.keys, esum, samples = self._jit_sample(
-            self.s, self.keys, timesteps=int(t), sampling_freq=int(freq),
-            ltau=self.ltau, do_loop=self.do_loop, offset=jnp.float32(self.ts.offset),
+            self._tables, self.s, self.keys, timesteps=int(t),
+            sampling_freq=int(freq), ltau=self.ltau, do_loop=self.do_loop,
+            offset=jnp.float32(self.ts.offset),
         )
         return kfinal(esum) / max(t, 1), samples  # samples: [R, nsamp, n] +-1 int8
 
     def bond_sample_dev(self, t: int, freq: int):
         self.s, self.keys, esum, samples = self._jit_bond(
-            self.s, self.keys, timesteps=int(t), sampling_freq=int(freq),
-            ltau=self.ltau, do_loop=self.do_loop,
+            self._tables, self.s, self.keys, timesteps=int(t),
+            sampling_freq=int(freq), ltau=self.ltau, do_loop=self.do_loop,
             offset=jnp.float32(self.ts.offset),
             offsets_t=jnp.asarray(self.offsets_t), beta=jnp.float32(self.beta),
         )

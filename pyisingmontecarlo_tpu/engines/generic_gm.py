@@ -790,12 +790,81 @@ def sweep_gm(gs: GmStructs, kinks, comp: Compiled, gm, keys, R: int,
     return gm, keys
 
 
+# ------------------------------------------------- table detachment
+#
+# The gm tables (W/tabs/etabs/Pm/Pw/A + the per-color and per-kink-phase
+# column subsets) scale as G*n*TT — ~28 MB EACH at n=416 on the hard family.
+# Closed over a jit they embed as HLO *literals*, and the serialized compile
+# request (hundreds of MB) exceeds remote-compile transport limits (the axon
+# tunnel rejects it with HTTP 413; any PJRT path still pays proto bloat and
+# per-compile constant folding). GenericWorldline therefore detaches them:
+# the skeletons keep only static host structure (array slots -> None, so a
+# stale use fails loudly), and the concrete arrays travel as a flat tuple of
+# *runtime jit arguments*, rebound to the skeleton inside the trace. Compile
+# payload becomes O(1) in table size; the arrays stay resident on device
+# across calls (no transfer cost).
+
+
+def detach_tables(gs: GmStructs, kinks=()):
+    """Split (gs, kinks) into array-free skeletons + a flat device-array
+    tuple. Rebind inside the jitted driver with ``rebind_tables``."""
+    arrs = [gs.W, gs.tabs, gs.etabs, gs.Pm, gs.Pw, gs.A]
+    csub = []
+    for sub in gs.csub:
+        if sub.Tc:
+            arrs += [sub.W, sub.tabs, sub.PmPw, sub.A]
+            csub.append(sub._replace(W=None, tabs=None, PmPw=None, A=None))
+        else:
+            csub.append(sub)
+    gs_skel = gs._replace(
+        W=None, tabs=None, etabs=None, Pm=None, Pw=None, A=None,
+        csub=tuple(csub),
+    )
+    kinks_skel = []
+    for ph in kinks:
+        if ph.sub is not None:
+            arrs += [ph.sub.W, ph.sub.tabs, ph.Satt_sub]
+            ph = ph._replace(
+                sub=ph.sub._replace(W=None, tabs=None), Satt_sub=None
+            )
+        kinks_skel.append(ph)
+    return gs_skel, tuple(kinks_skel), tuple(arrs)
+
+
+def rebind_tables(gs: GmStructs, kinks, arrs):
+    """Inverse of ``detach_tables`` under a trace: graft the (traced) array
+    tuple back onto the skeletons."""
+    it = iter(arrs)
+    gs = gs._replace(
+        W=next(it), tabs=next(it), etabs=next(it), Pm=next(it),
+        Pw=next(it), A=next(it),
+    )
+    csub = []
+    for sub in gs.csub:
+        if sub.Tc:
+            sub = sub._replace(
+                W=next(it), tabs=next(it), PmPw=next(it), A=next(it)
+            )
+        csub.append(sub)
+    gs = gs._replace(csub=tuple(csub))
+    kinks2 = []
+    for ph in kinks:
+        if ph.sub is not None:
+            ph = ph._replace(
+                sub=ph.sub._replace(W=next(it), tabs=next(it)),
+                Satt_sub=next(it),
+            )
+        kinks2.append(ph)
+    return gs, tuple(kinks2)
+
+
 # ----------------------------------------------------- jitted drivers
 #
 # Same contract as generic.run_sweeps / run_sweeps_sample /
 # run_sweeps_bond_sample, but the whole scan runs in gm layout: the [R, n, Lt]
 # worldline converts to the bit plane once on entry and back once on exit
-# (two transposes amortized over `timesteps` sweeps).
+# (two transposes amortized over `timesteps` sweeps). The leading ``tables``
+# argument is the detached device-array tuple (see detach_tables above).
 
 
 def _slice0_pm1(gm, n: int, R: int):
@@ -804,9 +873,11 @@ def _slice0_pm1(gm, n: int, R: int):
     return (gm[:n, :R].T * 2.0 - 1.0).astype(jnp.int8)
 
 
-def run_sweeps_gm(gs, kinks, comp, s, keys, timesteps, ltau, do_loop, offset):
+def run_sweeps_gm(gs, kinks, comp, tables, s, keys, timesteps, ltau, do_loop,
+                  offset):
     from ..utils.accum import kadd, kzero
 
+    gs, kinks = rebind_tables(gs, kinks, tables)
     R = s.shape[0]
     h = gs.host
     gm = to_gm(s, h.G)
@@ -822,10 +893,11 @@ def run_sweeps_gm(gs, kinks, comp, s, keys, timesteps, ltau, do_loop, offset):
     return from_gm(gm, h.G, h.n, R), keys, esum
 
 
-def run_sweeps_sample_gm(gs, kinks, comp, s, keys, timesteps, sampling_freq,
-                         ltau, do_loop, offset):
+def run_sweeps_sample_gm(gs, kinks, comp, tables, s, keys, timesteps,
+                         sampling_freq, ltau, do_loop, offset):
     from ..utils.accum import kadd, kzero
 
+    gs, kinks = rebind_tables(gs, kinks, tables)
     R = s.shape[0]
     h = gs.host
     gm = to_gm(s, h.G)
@@ -850,11 +922,12 @@ def run_sweeps_sample_gm(gs, kinks, comp, s, keys, timesteps, sampling_freq,
     )
 
 
-def run_sweeps_bond_sample_gm(gs, kinks, comp, s, keys, timesteps,
+def run_sweeps_bond_sample_gm(gs, kinks, comp, tables, s, keys, timesteps,
                               sampling_freq, ltau, do_loop, offset,
                               offsets_t, beta):
     from ..utils.accum import kadd, kzero
 
+    gs, kinks = rebind_tables(gs, kinks, tables)
     R = s.shape[0]
     h = gs.host
     gm = to_gm(s, h.G)

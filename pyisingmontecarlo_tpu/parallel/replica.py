@@ -29,28 +29,37 @@ __all__ = ["shard_runner", "shard_qmcising", "dryrun_runner"]
 # replicated specs.
 
 
+# The drivers' leading ``tables`` pytree (the gm engine's detached device
+# tables; () on the classic path) is replicated to every device — a P() prefix
+# spec covers all of its leaves.
+
+
 def _wrap_sweeps(drv, mesh: Mesh, axis: str):
-    def run(s, keys, *, timesteps, ltau, do_loop, offset):
-        def body(s, keys, offset):
-            return drv(s, keys, timesteps, ltau, do_loop, offset)
+    def run(tables, s, keys, *, timesteps, ltau, do_loop, offset):
+        def body(tables, s, keys, offset):
+            return drv(tables, s, keys, timesteps, ltau, do_loop, offset)
 
         return jax.shard_map(
-            body, mesh=mesh, in_specs=(P(axis), P(axis), P()),
+            body, mesh=mesh, in_specs=(P(), P(axis), P(axis), P()),
             out_specs=P(axis), check_vma=False,
-        )(s, keys, offset)
+        )(tables, s, keys, offset)
 
     return jax.jit(run, static_argnames=("timesteps", "ltau", "do_loop"))
 
 
 def _wrap_sample(drv, mesh: Mesh, axis: str):
-    def run(s, keys, *, timesteps, sampling_freq, ltau, do_loop, offset):
-        def body(s, keys, offset):
-            return drv(s, keys, timesteps, sampling_freq, ltau, do_loop, offset)
+    def run(tables, s, keys, *, timesteps, sampling_freq, ltau, do_loop,
+            offset):
+        def body(tables, s, keys, offset):
+            return drv(
+                tables, s, keys, timesteps, sampling_freq, ltau, do_loop,
+                offset,
+            )
 
         return jax.shard_map(
-            body, mesh=mesh, in_specs=(P(axis), P(axis), P()),
+            body, mesh=mesh, in_specs=(P(), P(axis), P(axis), P()),
             out_specs=P(axis), check_vma=False,
-        )(s, keys, offset)
+        )(tables, s, keys, offset)
 
     return jax.jit(
         run, static_argnames=("timesteps", "sampling_freq", "ltau", "do_loop")
@@ -58,18 +67,18 @@ def _wrap_sample(drv, mesh: Mesh, axis: str):
 
 
 def _wrap_bond(drv, mesh: Mesh, axis: str):
-    def run(s, keys, *, timesteps, sampling_freq, ltau, do_loop, offset,
-            offsets_t, beta):
-        def body(s, keys, offset, offsets_t, beta):
+    def run(tables, s, keys, *, timesteps, sampling_freq, ltau, do_loop,
+            offset, offsets_t, beta):
+        def body(tables, s, keys, offset, offsets_t, beta):
             return drv(
-                s, keys, timesteps, sampling_freq, ltau, do_loop, offset,
-                offsets_t, beta,
+                tables, s, keys, timesteps, sampling_freq, ltau, do_loop,
+                offset, offsets_t, beta,
             )
 
         return jax.shard_map(
-            body, mesh=mesh, in_specs=(P(axis), P(axis), P(), P(), P()),
+            body, mesh=mesh, in_specs=(P(), P(axis), P(axis), P(), P(), P()),
             out_specs=P(axis), check_vma=False,
-        )(s, keys, offset, offsets_t, beta)
+        )(tables, s, keys, offset, offsets_t, beta)
 
     return jax.jit(
         run, static_argnames=("timesteps", "sampling_freq", "ltau", "do_loop")

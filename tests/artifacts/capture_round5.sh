@@ -61,8 +61,10 @@ stage "gm/classic crossover (matched shapes straddling PMC_GM_MAX)" python bench
 stage "classical move families" python benches/bench_classical_graph.py
 # edge-move A/B in ONE session (same tenancy): round-4 measured the reworked
 # edge at 719.9us vs round 3's 415us — regression or noise? (VERDICT item 4)
-stage "edge A/B: one-read-per-sweep ON" env PMC_BENCH_FAMS=edge python benches/bench_classical_graph.py
-stage "edge A/B: one-read-per-sweep OFF" env PMC_BENCH_FAMS=edge PMC_EDGE_B0=0 python benches/bench_classical_graph.py
+# (settled 2026-08-19: ON=717.3us, OFF=656.3us same session -> per-class
+# matmuls are now the default and PMC_EDGE_B0=1 opts INTO the rework)
+stage "edge A/B: one-read-per-sweep ON" env PMC_BENCH_FAMS=edge PMC_EDGE_B0=1 python benches/bench_classical_graph.py
+stage "edge A/B: one-read-per-sweep OFF" env PMC_BENCH_FAMS=edge python benches/bench_classical_graph.py
 stage "tempering swap throughput" python benches/bench_tempering.py
 stage "driver configs (annealing + autocorrelation)" python benches/bench_configs.py
 stage "generic engine baseline chain" python benches/bench_qmcrunner.py
